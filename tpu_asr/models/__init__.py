@@ -1,0 +1,5 @@
+from tpu_asr.models.conformer import ConformerEncoder, ConvSubsampling, subsampled_length
+from tpu_asr.models.decoder import ConvASRDecoder
+from tpu_asr.models.ctc_model import CTCModel
+
+__all__ = ["ConformerEncoder", "ConvSubsampling", "subsampled_length", "ConvASRDecoder", "CTCModel"]

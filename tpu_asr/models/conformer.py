@@ -1,0 +1,325 @@
+"""Conformer encoder — TPU-native rebuild of NeMo's ConformerEncoder.
+
+Reference: NeMo/nemo/collections/asr/modules/conformer_encoder.py (module wiring
+:371-448, layer loop :595-761; the ConformerLayer / rel-pos attention / subsampling
+submodules are stripped from the snapshot — semantics reconstructed from their call
+sites and public Conformer knowledge, and pinned by this repo's parity tests).
+
+TPU-first design decisions (vs. the reference's per-layer Python loop + forward hooks):
+- The 16-layer stack runs under `flax.linen.scan` with stacked per-layer params: one
+  compiled layer body, all-layer features returned as the scan's stacked outputs —
+  this replaces the reference's `register_forward_hook` feature capture
+  (asr_train.py:528-541) with a functional, jit-friendly equivalent.
+- Internally everything is (B, T, D) with static shapes; padding handled by masks.
+- Relative-position attention uses the Transformer-XL pad-reshape shift; attention
+  runs in the configured compute dtype (bf16 on TPU) with fp32 softmax accumulation.
+- BatchNorm in the conv module reduces over the *global* batch under pjit (the mean
+  over a data-sharded axis lowers to an ICI psum), which reproduces the reference's
+  sync_batchnorm (conformer_ctc_bpe.yaml:209) with zero extra code.
+- The reference's `torch.distributed.all_reduce(MAX)` global max-seq-len sync
+  (conformer_encoder.py:763-781) is unnecessary: shapes are static.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_asr.config import EncoderConfig
+
+
+def subsampled_length(length: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
+    """Frame count after `striding` conv subsampling (k=3, s=2, p=1 per stage):
+    L -> floor((L - 1) / 2) + 1, applied log2(factor) times."""
+    n_stages = int(math.log2(factor))
+    for _ in range(n_stages):
+        length = (length - 1) // 2 + 1
+    return length
+
+
+class ConvSubsampling(nn.Module):
+    """`striding` subsampling: 2x [Conv2d(k=3,s=2,p=1) + ReLU] over (T, F), then a
+    Linear projection of the flattened (C, F/4) features to d_model."""
+
+    cfg: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, T, F) -> (B, T, F, 1) NHWC
+        c = self.cfg
+        n_stages = int(math.log2(c.subsampling_factor))
+        h = x[..., None].astype(self.dtype)
+        for i in range(n_stages):
+            h = nn.Conv(
+                features=c.conv_channels,
+                kernel_size=(3, 3),
+                strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(h)
+            h = nn.relu(h)
+        b, t, f, ch = h.shape
+        h = h.reshape(b, t, f * ch)
+        # NeMo flattens as (C, F) channel-major: transpose to match checkpoint layout
+        h = h.reshape(b, t, f, ch).transpose(0, 1, 3, 2).reshape(b, t, ch * f)
+        return nn.Dense(c.d_model, dtype=self.dtype, name="out")(h)
+
+
+def rel_positional_encoding(t: int, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Relative sinusoidal PE for positions [t-1 .. -(t-1)], shape (2t-1, d_model).
+
+    Matches NeMo RelPositionalEncoding.create_pe (descending positions)."""
+    positions = np.arange(t - 1, -t, -1, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float32) * -(math.log(10000.0) / d_model))
+    pe = np.zeros((2 * t - 1, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(positions * div)
+    pe[:, 1::2] = np.cos(positions * div)
+    return jnp.asarray(pe, dtype=dtype)
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """Transformer-XL relative shift. x: (B, H, T, 2T-1) -> (B, H, T, T).
+
+    Aligns x[b,h,t,j] (j indexing relative positions T-1-j) so that output[b,h,t,s]
+    = x[b,h,t, T-1-t+s].
+    """
+    b, h, t, p = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))        # (B,H,T,2T)
+    x = x.reshape(b, h, p + 1, t)
+    x = x[:, :, 1:, :].reshape(b, h, t, p)
+    return x[:, :, :, :t]
+
+
+class RelPositionMultiHeadAttention(nn.Module):
+    """Multi-head attention with Transformer-XL relative position encoding and
+    (optionally untied) u/v biases — NeMo RelPositionMultiHeadAttention contract."""
+
+    d_model: int
+    n_heads: int
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,            # (B, T, D)
+        pos_emb: jnp.ndarray,      # (2T-1, D)
+        mask: jnp.ndarray,         # (B, T) bool, True = valid
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        d, h = self.d_model, self.n_heads
+        dk = d // h
+        b, t, _ = x.shape
+
+        q = nn.Dense(d, dtype=self.dtype, name="linear_q")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="linear_k")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="linear_v")(x)
+        p = nn.Dense(d, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb)
+
+        q = q.reshape(b, t, h, dk)
+        k = k.reshape(b, t, h, dk)
+        v = v.reshape(b, t, h, dk)
+        p = p.reshape(-1, h, dk)                               # (2T-1, H, dk)
+
+        bias_u = self.param("pos_bias_u", nn.initializers.zeros, (h, dk), jnp.float32)
+        bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dk), jnp.float32)
+
+        q_u = q + bias_u.astype(q.dtype)[None, None]
+        q_v = q + bias_v.astype(q.dtype)[None, None]
+
+        # content score (B, H, T, T) and position score (B, H, T, 2T-1)
+        ac = jnp.einsum("bthd,bshd->bhts", q_u, k, preferred_element_type=jnp.float32)
+        bd = jnp.einsum("bthd,phd->bhtp", q_v, p, preferred_element_type=jnp.float32)
+        bd = rel_shift(bd)
+
+        scores = (ac + bd) / math.sqrt(dk)                     # fp32
+        att_mask = (mask[:, None, None, :] & mask[:, None, :, None])
+        scores = jnp.where(att_mask, scores, -1.0e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.where(att_mask, attn, 0.0)
+        if self.dropout_rate > 0.0 and not deterministic:
+            attn = nn.Dropout(self.dropout_rate, deterministic=False)(attn)
+        out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, t, d).astype(self.dtype)
+        return nn.Dense(d, dtype=self.dtype, name="linear_out")(out)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over (B, T) per channel, reference-faithful: statistics include
+    padded (zeroed) positions, exactly like NeMo's nn.BatchNorm1d in the conv module.
+    Under pjit data parallelism the batch mean is a global mean (ICI psum), which
+    reproduces Lightning's sync_batchnorm."""
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+        # x: (B, T, C)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1))
+            var = jnp.mean(jnp.square(xf - mean[None, None]), axis=(0, 1))
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1]
+                unbiased = var * n / max(n - 1, 1)
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mean[None, None]) * inv[None, None]
+        return (y * scale[None, None] + bias[None, None]).astype(self.dtype)
+
+
+class ConformerConvolution(nn.Module):
+    """Conformer conv module: pointwise(d->2d) + GLU -> depthwise(k) -> BN/LN -> SiLU
+    -> pointwise(d->d). Padded positions are zeroed before the depthwise conv."""
+
+    cfg: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c = self.cfg
+        d = c.d_model
+        h = nn.Dense(2 * d, dtype=self.dtype, name="pointwise_conv1")(x)
+        h = nn.glu(h, axis=-1)                                  # (B, T, d)
+        h = jnp.where(mask[..., None], h, 0.0)
+        # depthwise conv over time
+        h = nn.Conv(
+            features=d,
+            kernel_size=(c.conv_kernel_size,),
+            padding=((c.conv_kernel_size // 2, c.conv_kernel_size // 2),),
+            feature_group_count=d,
+            dtype=self.dtype,
+            name="depthwise_conv",
+        )(h)
+        if c.conv_norm_type == "batch_norm":
+            h = MaskedBatchNorm(d, dtype=self.dtype, name="batch_norm")(
+                h, use_running_average=not train)
+        elif c.conv_norm_type == "layer_norm":
+            h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        else:
+            raise ValueError(f"unknown conv_norm_type: {c.conv_norm_type}")
+        h = nn.silu(h)
+        h = nn.Dense(d, dtype=self.dtype, name="pointwise_conv2")(h)
+        return h
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    d_ff: int
+    dropout_rate: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.Dense(self.d_ff, dtype=self.dtype, name="linear1")(x)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+
+
+class ConformerLayer(nn.Module):
+    """FF(1/2) -> rel-pos MHSA -> conv module -> FF(1/2) -> LN (NeMo ConformerLayer)."""
+
+    cfg: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pos_emb: jnp.ndarray,
+        mask: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        det = not train
+        drop = lambda h: nn.Dropout(c.dropout, deterministic=det)(h)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_feed_forward1")(x)
+        h = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype, name="feed_forward1")(h, det)
+        x = x + 0.5 * drop(h)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_self_att")(x)
+        h = RelPositionMultiHeadAttention(
+            c.d_model, c.n_heads, c.dropout_att, self.dtype, name="self_attn"
+        )(h, pos_emb, mask, deterministic=det)
+        x = x + drop(h)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
+        h = ConformerConvolution(c, self.dtype, name="conv")(h, mask, train, det)
+        x = x + drop(h)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_feed_forward2")(x)
+        h = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype, name="feed_forward2")(h, det)
+        x = x + 0.5 * drop(h)
+
+        x = nn.LayerNorm(dtype=self.dtype, name="norm_out")(x)
+        return jnp.where(mask[..., None], x, 0.0)
+
+
+class ConformerEncoder(nn.Module):
+    """Full encoder: subsampling -> xscale + rel PE -> scan over ConformerLayers.
+
+    Returns (encoded (B, T', D), lengths (B,), layer_feats (L, B, T', D)) — the
+    stacked per-layer outputs replace the reference's forward-hook capture.
+    API layout is (B, T, D); use `transpose` at call sites needing NeMo's (B, D, T).
+    """
+
+    cfg: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,      # (B, F, T) log-mel, NeMo layout
+        lengths: jnp.ndarray,       # (B,) valid frames
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        x = jnp.transpose(features, (0, 2, 1))                 # (B, T, F)
+        x = ConvSubsampling(c, self.dtype, name="pre_encode")(x)
+        out_len = subsampled_length(lengths, c.subsampling_factor)
+
+        b, t, d = x.shape
+        if c.xscaling:
+            x = x * math.sqrt(c.d_model)
+        pos_emb = rel_positional_encoding(t, c.d_model, self.dtype)
+        x = nn.Dropout(c.dropout_pre_encoder, deterministic=not train)(x)
+
+        mask = jnp.arange(t)[None, :] < out_len[:, None]       # (B, T)
+        x = jnp.where(mask[..., None], x, 0.0)
+
+        layer = ConformerLayer(c, self.dtype, name="layers")
+
+        def body(mod, carry, _):
+            y = mod(carry, pos_emb, mask, train=train)
+            return y, y
+
+        scanned = nn.scan(
+            body,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=c.n_layers,
+        )
+        x, layer_feats = scanned(layer, x, None)
+        return x, out_len, layer_feats

@@ -1,0 +1,79 @@
+"""CTCModel — the EncDecCTCModel(BPE) equivalent: preprocessor -> SpecAugment ->
+ConformerEncoder -> ConvASRDecoder, as one flax module whose apply is a pure jittable
+function (reference: NeMo ctc_models.py:496-546 forward; ctc_bpe_models.py:42-96).
+
+The preprocessor is stateless JAX closed over filter constants (not a submodule), so
+the model's params contain exactly the trainable weights. Returns log-probs, lengths,
+greedy ids, plus the encoder output and all-layer features for the KD losses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpu_asr.config import ModelConfig
+from tpu_asr.models.conformer import ConformerEncoder
+from tpu_asr.models.decoder import ConvASRDecoder
+from tpu_asr.ops.features import FilterbankFeatures
+from tpu_asr.ops.specaug import spec_augment
+
+
+class CTCModelOutput(NamedTuple):
+    log_probs: jnp.ndarray        # (B, T', V+1) fp32
+    encoded_len: jnp.ndarray      # (B,)
+    greedy: jnp.ndarray           # (B, T') argmax token ids
+    encoded: jnp.ndarray          # (B, T', D) encoder output
+    layer_feats: jnp.ndarray      # (L, B, T', D) per-layer features
+
+
+class CTCModel(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        self.featurizer = FilterbankFeatures(self.cfg.preprocessor)
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        self.encoder = ConformerEncoder(self.cfg.encoder, dtype)
+        self.decoder = ConvASRDecoder(self.cfg.decoder, dtype)
+
+    def __call__(
+        self,
+        input_signal: jnp.ndarray,         # (B, L) float32 waveform
+        input_signal_length: jnp.ndarray,  # (B,)
+        train: bool = False,
+    ) -> CTCModelOutput:
+        rng = self.make_rng("specaug") if train else None
+        feats, feat_len = self.featurizer(
+            input_signal, input_signal_length, train=train, rng=rng)
+        if train and self.cfg.spec_augment is not None:
+            feats = spec_augment(feats, feat_len, self.cfg.spec_augment,
+                                 self.make_rng("specaug"))
+        return self.forward_features(feats, feat_len, train=train)
+
+    def forward_features(
+        self,
+        processed_signal: jnp.ndarray,        # (B, F, T) log-mel
+        processed_signal_length: jnp.ndarray,
+        train: bool = False,
+    ) -> CTCModelOutput:
+        encoded, encoded_len, layer_feats = self.encoder(
+            processed_signal, processed_signal_length, train=train)
+        log_probs = self.decoder(encoded)
+        greedy = jnp.argmax(log_probs, axis=-1)
+        return CTCModelOutput(log_probs, encoded_len, greedy, encoded, layer_feats)
+
+    def encode(self, input_signal, input_signal_length, train: bool = False):
+        """Preprocess + encode only (the teacher path in KD: asr_train.py:589-592)."""
+        rng = self.make_rng("specaug") if train else None
+        feats, feat_len = self.featurizer(
+            input_signal, input_signal_length, train=train, rng=rng)
+        if train and self.cfg.spec_augment is not None:
+            feats = spec_augment(feats, feat_len, self.cfg.spec_augment,
+                                 self.make_rng("specaug"))
+        return self.encoder(feats, feat_len, train=train)
+
+    def decode_logits(self, encoded):
+        return self.decoder(encoded)
