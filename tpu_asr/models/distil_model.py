@@ -1,0 +1,247 @@
+"""DistilCTCModel — the KD student model family, covering the reference's
+`DistilEncDecCTCModelBPE` (asr_train.py:314-467), `DistilFlowMatchingCTCModelBPE`
+(asr_train.py:469-788) and the diffm variant (asr_train_diffm.py:500-829) as ONE
+config-driven module (the reference pastes ~80% of this code 4x; SURVEY.md §2.1).
+
+Architecture (TPU-first):
+- Student and frozen teacher are submodules of one flax module, so the whole
+  KD training step (student fwd + teacher fwd + all KD losses) is a single
+  XLA program. Teacher outputs are wrapped in stop_gradient; the optimizer
+  additionally masks teacher params (see tpu_asr/train/optim.py).
+- Per-layer features come from the encoder scan's stacked outputs (L, B, T, D)
+  instead of forward hooks (asr_train.py:528-541).
+- The per-layer FM / router / DiffKD / diffm computations are vmapped over the
+  layer axis L: layers are independent given the layer-id embedding, so the
+  16 per-layer meta-encoder calls batch into single large MXU matmuls.
+- The dynamic router's data-dependent step counts run through the masked-scan
+  Euler loop (see kd/flow_matching.py) — no dynamic control flow.
+
+Reference-faithful behaviors kept (see SURVEY.md §7.3 quirk list):
+- FM uses the SAME FlowMatchingModule weights for every layer; only the router
+  sees the layer id (asr_train.py:506-518).
+- With use_flow_matching, the decoder consumes the LAST layer's FM output
+  instead of the encoder output, in training AND eval (asr_train.py:664-670).
+- Teacher runs in eval mode (dropout off, BN running stats): asr_train.py:1723-1725.
+- layerwise KD: per-layer MSE averaged over layers, shared Linear projection.
+- diffkd losses summed over layers (not averaged) in the FM model
+  (asr_train.py:754-757); diffm version losses summed (asr_train_diffm.py:788-792).
+- diffm's layerwise path draws a FRESH random Linear projection every call
+  (asr_train_diffm.py:767 — a never-trained projection); reproduced with an
+  rng-drawn projection when `diffm_fresh_layer_proj=True`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpu_asr.config import DistillationConfig, ModelConfig
+from tpu_asr.kd.diffkd import DiffKDModule
+from tpu_asr.kd.diffm import LatentKDPipeline
+from tpu_asr.kd.flow_matching import FlowMatchingModule
+from tpu_asr.kd.losses import layerwise_mse_loss, logit_kl_loss
+from tpu_asr.kd.router import DynamicStepRouter, aggregate_steps
+from tpu_asr.models.ctc_model import CTCModel
+from tpu_asr.ops.ctc import ctc_loss
+
+
+class DistilOutput(NamedTuple):
+    log_probs: jnp.ndarray       # (B, T', V+1)
+    encoded_len: jnp.ndarray     # (B,)
+    greedy: jnp.ndarray          # (B, T')
+    losses: Dict[str, jnp.ndarray]
+    metrics: Dict[str, jnp.ndarray]
+
+
+class DistilCTCModel(nn.Module):
+    student_cfg: ModelConfig
+    teacher_cfg: ModelConfig
+    distill: DistillationConfig
+
+    def setup(self):
+        d = self.distill
+        self.student = CTCModel(self.student_cfg)
+        self.teacher = CTCModel(self.teacher_cfg)
+        dtype = jnp.dtype(self.student_cfg.compute_dtype)
+
+        self._needs_teacher_encoder = (
+            d.use_logit_distillation or d.use_layerwise_distillation
+            or d.use_flow_matching or d.use_diffkd or d.use_diffm)
+        if d.use_flow_matching:
+            assert d.flow is not None
+            self.flow_matching = FlowMatchingModule(d.flow, dtype)
+            if d.flow.use_dynamic_steps:
+                assert d.router is not None
+                self.router = DynamicStepRouter(d.router, dtype)
+        if d.use_diffkd:
+            assert d.diffkd is not None
+            self.diffkd_mod = DiffKDModule(d.diffkd, dtype)
+        if d.use_diffm:
+            assert d.diffm is not None
+            self.diffm_pipeline = LatentKDPipeline(d.diffm, dtype=dtype)
+        if d.use_layerwise_distillation or d.use_flow_matching or d.use_diffkd:
+            # shared student->teacher projection (asr_train.py:529)
+            self.layer_proj = nn.Dense(self.teacher_cfg.encoder.d_model, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    def _flow_matching_all_layers(
+        self,
+        stu_feats: jnp.ndarray,      # (L, B, T, Ds)
+        tch_feats: jnp.ndarray,      # (L, B, T, Dt)
+        train: bool,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Returns (flow_loss, router_loss, fm_out_last_layer, metrics)."""
+        d = self.distill
+        f = d.flow
+        n_layers = stu_feats.shape[0]
+        layer_ids = jnp.arange(n_layers, dtype=jnp.int32)
+        metrics: Dict[str, jnp.ndarray] = {}
+
+        if f.use_dynamic_steps:
+            # router over all layers at once (vmap: shared params, per-layer rng)
+            router_vmap = nn.vmap(
+                lambda mod, s, t, lid: mod(s, t, lid, train=train),
+                variable_axes={"params": None},
+                split_rngs={"params": False, "gumbel": True},
+                in_axes=(0, 0, 0),
+            )
+            steps_lb, router_losses, aux = router_vmap(
+                self.router, stu_feats, tch_feats, layer_ids)   # (L,B), (L,), dict
+            router_loss = jnp.sum(router_losses)
+            metrics["router/batch_mean_sampling_steps_mean"] = jnp.mean(
+                steps_lb.astype(jnp.float32))
+
+            if d.flow.router_strategy == "group":
+                steps_arg = steps_lb                              # (L, B) per-sample
+                group = True
+            else:
+                steps_arg = jax.vmap(
+                    lambda s: aggregate_steps(s, d.flow.router_strategy,
+                                              f.router_max_sampling_steps))(steps_lb)
+                steps_arg = jnp.broadcast_to(steps_arg[:, None], steps_lb.shape)
+                group = False
+            max_steps = f.router_max_sampling_steps
+        else:
+            router_loss = jnp.zeros((), jnp.float32)
+            if f.sampling_steps_per_layer is not None:
+                per_layer = jnp.asarray(f.sampling_steps_per_layer, jnp.int32)  # (L,)
+                max_steps = int(max(f.sampling_steps_per_layer))
+            else:
+                per_layer = jnp.full((n_layers,), f.training_sampling, jnp.int32)
+                max_steps = f.training_sampling
+            steps_arg = jnp.broadcast_to(per_layer[:, None],
+                                         (n_layers, stu_feats.shape[1]))
+            group = False
+
+        fm_vmap = nn.vmap(
+            lambda mod, s, t, st: mod(s, t, steps=st, max_steps=max_steps,
+                                      train=train, group_loss=group),
+            variable_axes={"params": None},
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0, 0, 0),
+        )
+        flow_losses, fm_out = fm_vmap(self.flow_matching, stu_feats,
+                                      tch_feats, steps_arg)       # (L,), (L,B,T,Ds)
+        flow_loss = jnp.sum(flow_losses)
+        return flow_loss, router_loss, fm_out[-1], metrics
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        input_signal: jnp.ndarray,          # (B, L) waveform
+        input_signal_length: jnp.ndarray,   # (B,)
+        transcripts: Optional[jnp.ndarray] = None,       # (B, S)
+        transcript_lengths: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> DistilOutput:
+        d = self.distill
+        losses: Dict[str, jnp.ndarray] = {}
+        metrics: Dict[str, jnp.ndarray] = {}
+        zero = jnp.zeros((), jnp.float32)
+
+        # ----- student encode -----
+        encoded, encoded_len, stu_feats = self.student.encode(
+            input_signal, input_signal_length, train=train)
+
+        # ----- teacher encode (frozen, eval mode, stop-gradient) -----
+        tch_feats = None
+        tch_encoded = None
+        if self._needs_teacher_encoder:
+            tch_encoded, _, tch_feats = self.teacher.encode(
+                input_signal, input_signal_length, train=False)
+            tch_encoded = jax.lax.stop_gradient(tch_encoded)
+            tch_feats = jax.lax.stop_gradient(tch_feats)
+
+        # ----- flow matching over all layers -----
+        decoder_in = encoded
+        if d.use_flow_matching:
+            flow_loss, router_loss, fm_last, fm_metrics = \
+                self._flow_matching_all_layers(stu_feats, tch_feats, train)
+            losses["flow_matching"] = flow_loss
+            if d.flow.use_dynamic_steps:
+                losses["router"] = d.flow.router_weight * router_loss
+            metrics.update(fm_metrics)
+            # FM output of the LAST layer replaces the decoder input
+            # (asr_train.py:664-670), in training and eval alike.
+            decoder_in = fm_last
+
+        # ----- decode -----
+        log_probs = self.student.decode_logits(decoder_in)
+        greedy = jnp.argmax(log_probs, axis=-1)
+
+        # ----- CTC -----
+        if transcripts is not None:
+            if d.use_ctc:
+                losses["ctc"] = ctc_loss(
+                    log_probs, transcripts, encoded_len, transcript_lengths,
+                    reduction=self.student_cfg.ctc_reduction)
+            else:
+                losses["ctc"] = zero
+
+        # ----- logit KL (teacher decoder on its last-layer feature,
+        #       asr_train.py:725-731) -----
+        if d.use_logit_distillation and tch_feats is not None:
+            tch_log_probs = self.teacher.decode_logits(tch_feats[-1])
+            tch_log_probs = jax.lax.stop_gradient(tch_log_probs)
+            losses["logit_kd"] = d.kd_alpha * logit_kl_loss(
+                log_probs, tch_log_probs, d.kd_temperature)
+
+        # ----- layerwise MSE (shared projection, layer-averaged,
+        #       asr_train.py:736-748) -----
+        if d.use_layerwise_distillation and tch_feats is not None:
+            proj = self.layer_proj(stu_feats)                    # (L,B,T,Dt)
+            losses["layer_kd"] = d.layer_kd_alpha * layerwise_mse_loss(
+                proj, tch_feats, average_layers=True)
+
+        # ----- DiffKD: summed over layers (asr_train.py:754-757) -----
+        if d.use_diffkd and tch_feats is not None:
+            diffkd_vmap = nn.vmap(
+                lambda mod, s, t: mod(s, t),
+                variable_axes={"params": None},
+                split_rngs={"params": False},
+                in_axes=(0, 0),
+            )
+            losses["diffkd"] = jnp.sum(
+                diffkd_vmap(self.diffkd_mod, stu_feats, tch_feats))
+
+        # ----- diffm latent pipeline: summed over layers
+        #       (asr_train_diffm.py:772-792) -----
+        if d.use_diffm and tch_feats is not None:
+            diffm_vmap = nn.vmap(
+                lambda mod, s, t: mod(s, t, train=train),
+                variable_axes={"params": None},
+                split_rngs={"params": False, "noise": True, "dropout": True},
+                in_axes=(0, 0),
+            )
+            v_losses = diffm_vmap(self.diffm_pipeline, stu_feats, tch_feats)
+            for key, val in v_losses.items():
+                losses[f"diffm/{key}"] = jnp.sum(val)
+
+        total = zero
+        for v in losses.values():
+            total = total + v
+        losses["total"] = total
+        return DistilOutput(log_probs, encoded_len, greedy, losses, metrics)
