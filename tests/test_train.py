@@ -1,0 +1,148 @@
+"""Training-infrastructure tests: NeMo scheduler parity, teacher freezing,
+loss decrease on an overfit micro-batch, and the DP train step on the 8-device
+virtual mesh (SURVEY.md §4: multi-device coverage the reference never had).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_asr.config import (DecoderConfig, DistillationConfig, EncoderConfig,
+                            FlowMatchingConfig, ModelConfig, OptimConfig,
+                            PreprocessorConfig, make_student_config)
+from tpu_asr.models.distil_model import DistilCTCModel
+from tpu_asr.parallel.mesh import batch_sharding, make_mesh, replicated
+from tpu_asr.train.optim import (build_optimizer, cosine_annealing_schedule,
+                                 noam_annealing_schedule)
+from tpu_asr.train.trainer import DistilTrainState, make_distil_train_step
+
+
+def test_noam_annealing_matches_nemo_formula():
+    """NeMo NoamAnnealing (lr_scheduler.py:473-530): lr * d^-0.5 *
+    min(step^-0.5, step*warmup^-1.5), min_lr floor only past warmup."""
+    lr, d_model, warmup, min_lr = 2.0, 176, 100, 1e-3
+    sched = noam_annealing_schedule(lr, d_model, warmup, min_lr)
+    for count in [0, 1, 50, 99, 100, 1000, 100000]:
+        step = count + 1
+        ref = lr * d_model ** -0.5 * min(step ** -0.5, step * warmup ** -1.5)
+        if step > warmup:
+            ref = max(ref, min_lr)
+        np.testing.assert_allclose(float(sched(jnp.asarray(count))), ref,
+                                   rtol=1e-6)
+    # late steps hit the floor
+    assert float(sched(jnp.asarray(10 ** 9))) == pytest.approx(min_lr)
+
+
+def test_cosine_annealing_endpoints():
+    sched = cosine_annealing_schedule(1.0, warmup_steps=10, max_steps=110,
+                                      min_lr=0.01)
+    assert float(sched(jnp.asarray(0))) == pytest.approx(0.1)     # warmup ramp
+    assert float(sched(jnp.asarray(9))) == pytest.approx(1.0)     # peak
+    assert float(sched(jnp.asarray(10 ** 6))) == pytest.approx(0.01)
+
+
+def _tiny_cfg():
+    teacher = ModelConfig(
+        preprocessor=PreprocessorConfig(features=24),
+        spec_augment=None,
+        encoder=EncoderConfig(feat_in=24, n_layers=2, d_model=32, n_heads=4,
+                              conv_kernel_size=7, conv_norm_type="layer_norm",
+                              dropout=0.0, dropout_pre_encoder=0.0,
+                              dropout_att=0.0),
+        decoder=DecoderConfig(feat_in=32, num_classes=12),
+        compute_dtype="float32",
+    )
+    return teacher, make_student_config(teacher)
+
+
+def _setup(distill=None, batch=2, samples=8000):
+    teacher_cfg, student_cfg = _tiny_cfg()
+    d = distill or DistillationConfig(use_logit_distillation=True)
+    model = DistilCTCModel(student_cfg, teacher_cfg, d)
+    rng = np.random.default_rng(0)
+    batch_d = {
+        "signal": jnp.asarray(rng.normal(size=(batch, samples)).astype(np.float32) * 0.1),
+        "signal_len": jnp.full((batch,), samples, jnp.int32),
+        "tokens": jnp.asarray(rng.integers(0, 12, size=(batch, 6)), jnp.int32),
+        "token_len": jnp.full((batch,), 6, jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "specaug": key, "dropout": key, "gumbel": key,
+         "noise": key},
+        batch_d["signal"], batch_d["signal_len"], batch_d["tokens"],
+        batch_d["token_len"], train=True)
+    return model, variables, batch_d
+
+
+def test_train_step_decreases_loss_and_freezes_teacher():
+    model, variables, batch = _setup()
+    opt_cfg = OptimConfig(lr=1e-3, sched_name="none", gradient_clip_val=1.0,
+                          d_model=16)
+    tx = build_optimizer(opt_cfg, variables["params"])
+    state = DistilTrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=tx)
+    step = jax.jit(make_distil_train_step(model))
+    rng = jax.random.PRNGKey(42)
+
+    teacher_before = jax.tree.map(lambda x: np.asarray(x),
+                                  state.params["teacher"])
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss/total"]))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    # teacher params bit-identical after 8 AdamW steps
+    teacher_after = state.params["teacher"]
+    for a, b in zip(jax.tree.leaves(teacher_before),
+                    jax.tree.leaves(teacher_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state.step) == 8
+
+
+def test_dp_train_step_on_virtual_mesh():
+    """Full KD train step jitted over an 8-device data mesh — replicated state,
+    batch sharded on `data`; result must match the semantics (finite loss,
+    teacher frozen) and actually execute with sharded inputs."""
+    flow = FlowMatchingConfig(meta_encoder_type="mlp", student_dim=16,
+                              teacher_dim=32, time_embed_dim=8, hidden_dim=16,
+                              training_sampling=2, inference_sampling=2)
+    d = DistillationConfig(use_logit_distillation=True, use_flow_matching=True,
+                           flow=flow)
+    model, variables, _ = _setup(distill=d, batch=8, samples=8000)
+    rng_np = np.random.default_rng(1)
+    batch = {
+        "signal": jnp.asarray(rng_np.normal(size=(8, 8000)).astype(np.float32) * 0.1),
+        "signal_len": jnp.full((8,), 8000, jnp.int32),
+        "tokens": jnp.asarray(rng_np.integers(0, 12, size=(8, 6)), jnp.int32),
+        "token_len": jnp.full((8,), 6, jnp.int32),
+    }
+
+    mesh = make_mesh(dp_size=8)
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    opt_cfg = OptimConfig(lr=1e-3, sched_name="none", d_model=16)
+    tx = build_optimizer(opt_cfg, variables["params"])
+    state = DistilTrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=tx)
+
+    state = jax.device_put(state, repl)
+    batch_sharded = jax.tree.map(lambda x: jax.device_put(x, bsh), batch)
+
+    step = jax.jit(make_distil_train_step(model),
+                   in_shardings=(repl, bsh, repl),
+                   out_shardings=(repl, repl))
+    rng = jax.device_put(jax.random.PRNGKey(0), repl)
+    new_state, metrics = step(state, batch_sharded, rng)
+    assert np.isfinite(float(metrics["loss/total"]))
+    assert np.isfinite(float(metrics["loss/flow_matching"]))
+    # params stayed replicated and finite
+    leaf = jax.tree.leaves(new_state.params["student"])[0]
+    assert np.all(np.isfinite(np.asarray(leaf)))
+    # 2nd step to make sure the compiled program is reusable
+    new_state, metrics2 = step(new_state, batch_sharded, rng)
+    assert np.isfinite(float(metrics2["loss/total"]))

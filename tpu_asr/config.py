@@ -234,6 +234,9 @@ class DistillationConfig:
     kd_temperature: float = 1.0
     use_layerwise_distillation: bool = False
     layer_kd_alpha: float = 1.0
+    # reference quirk (asr_train_diffm.py:767): the diffm trainer's layerwise
+    # path draws a FRESH random, never-trained Linear projection on every call.
+    diffm_fresh_layer_proj: bool = False
     use_flow_matching: bool = False
     flow: Optional[FlowMatchingConfig] = None
     router: Optional[RouterConfig] = None

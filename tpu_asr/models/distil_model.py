@@ -136,15 +136,25 @@ class DistilCTCModel(nn.Module):
                                          (n_layers, stu_feats.shape[1]))
             group = False
 
-        fm_vmap = nn.vmap(
-            lambda mod, s, t, st: mod(s, t, steps=st, max_steps=max_steps,
-                                      train=train, group_loss=group),
-            variable_axes={"params": None},
-            split_rngs={"params": False, "dropout": True},
-            in_axes=(0, 0, 0),
-        )
-        flow_losses, fm_out = fm_vmap(self.flow_matching, stu_feats,
-                                      tch_feats, steps_arg)       # (L,), (L,B,T,Ds)
+        if train:
+            fm_vmap = nn.vmap(
+                lambda mod, s, t, st: mod(s, t, steps=st, max_steps=max_steps,
+                                          train=True, group_loss=group),
+                variable_axes={"params": None},
+                split_rngs={"params": False, "dropout": True},
+                in_axes=(0, 0, 0),
+            )
+            flow_losses, fm_out = fm_vmap(self.flow_matching, stu_feats,
+                                          tch_feats, steps_arg)   # (L,), (L,B,T,Ds)
+        else:
+            fm_vmap = nn.vmap(
+                lambda mod, s, st: mod(s, None, steps=st, max_steps=max_steps,
+                                       train=False),
+                variable_axes={"params": None},
+                split_rngs={"params": False, "dropout": False},
+                in_axes=(0, 0),
+            )
+            flow_losses, fm_out = fm_vmap(self.flow_matching, stu_feats, steps_arg)
         flow_loss = jnp.sum(flow_losses)
         return flow_loss, router_loss, fm_out[-1], metrics
 
@@ -167,9 +177,13 @@ class DistilCTCModel(nn.Module):
             input_signal, input_signal_length, train=train)
 
         # ----- teacher encode (frozen, eval mode, stop-gradient) -----
+        # In eval only the FM path needs the teacher (router input); the KD
+        # losses are train-only (reference computes them in training_step).
+        needs_teacher = self._needs_teacher_encoder if train else (
+            d.use_flow_matching and d.flow is not None and d.flow.use_dynamic_steps)
         tch_feats = None
         tch_encoded = None
-        if self._needs_teacher_encoder:
+        if needs_teacher:
             tch_encoded, _, tch_feats = self.teacher.encode(
                 input_signal, input_signal_length, train=False)
             tch_encoded = jax.lax.stop_gradient(tch_encoded)
@@ -203,7 +217,7 @@ class DistilCTCModel(nn.Module):
 
         # ----- logit KL (teacher decoder on its last-layer feature,
         #       asr_train.py:725-731) -----
-        if d.use_logit_distillation and tch_feats is not None:
+        if train and d.use_logit_distillation and tch_feats is not None:
             tch_log_probs = self.teacher.decode_logits(tch_feats[-1])
             tch_log_probs = jax.lax.stop_gradient(tch_log_probs)
             losses["logit_kd"] = d.kd_alpha * logit_kl_loss(
@@ -211,13 +225,27 @@ class DistilCTCModel(nn.Module):
 
         # ----- layerwise MSE (shared projection, layer-averaged,
         #       asr_train.py:736-748) -----
-        if d.use_layerwise_distillation and tch_feats is not None:
-            proj = self.layer_proj(stu_feats)                    # (L,B,T,Dt)
+        if train and d.use_layerwise_distillation and tch_feats is not None:
+            if d.diffm_fresh_layer_proj:
+                # diffm quirk: fresh random (never-trained) per-layer Linear,
+                # torch default init U(-1/sqrt(fan_in), +) (asr_train_diffm.py:767)
+                n_l = stu_feats.shape[0]
+                d_s = stu_feats.shape[-1]
+                d_t = tch_feats.shape[-1]
+                bound = 1.0 / (d_s ** 0.5)
+                kw, kb = jax.random.split(self.make_rng("noise"))
+                w = jax.random.uniform(kw, (n_l, d_s, d_t), stu_feats.dtype,
+                                       -bound, bound)
+                bias = jax.random.uniform(kb, (n_l, 1, 1, d_t),
+                                          stu_feats.dtype, -bound, bound)
+                proj = jnp.einsum("lbts,lsd->lbtd", stu_feats, w) + bias
+            else:
+                proj = self.layer_proj(stu_feats)                # (L,B,T,Dt)
             losses["layer_kd"] = d.layer_kd_alpha * layerwise_mse_loss(
                 proj, tch_feats, average_layers=True)
 
         # ----- DiffKD: summed over layers (asr_train.py:754-757) -----
-        if d.use_diffkd and tch_feats is not None:
+        if train and d.use_diffkd and tch_feats is not None:
             diffkd_vmap = nn.vmap(
                 lambda mod, s, t: mod(s, t),
                 variable_axes={"params": None},
@@ -229,7 +257,7 @@ class DistilCTCModel(nn.Module):
 
         # ----- diffm latent pipeline: summed over layers
         #       (asr_train_diffm.py:772-792) -----
-        if d.use_diffm and tch_feats is not None:
+        if train and d.use_diffm and tch_feats is not None:
             diffm_vmap = nn.vmap(
                 lambda mod, s, t: mod(s, t, train=train),
                 variable_axes={"params": None},

@@ -1,0 +1,2 @@
+from tpu_asr.parallel.mesh import (batch_sharding, make_mesh, replicated,
+                                   shard_batch)

@@ -1,0 +1,99 @@
+"""Functional train/eval steps for KD training — the TPU-native equivalent of
+the reference's Lightning `training_step`/`validation_pass` plumbing
+(asr_train.py:677-778, NeMo ctc_models.py:549-692).
+
+One jitted program per step: student forward, frozen-teacher forward, every
+enabled KD loss, backward, and the optimizer update all compile into a single
+XLA computation (the BASELINE.json north-star requirement). Data parallelism:
+jit the step with the batch sharded over the mesh's `data` axis and the state
+replicated — XLA inserts the gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tpu_asr.models.distil_model import DistilCTCModel
+from tpu_asr.ops.ctc import ctc_greedy_decode
+
+
+class DistilTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, apply_fn, params, batch_stats, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params),
+                   apply_fn=apply_fn, tx=tx)
+
+
+def _step_rngs(base_rng: jax.Array, step: jnp.ndarray) -> Dict[str, jax.Array]:
+    folded = jax.random.fold_in(base_rng, step)
+    keys = jax.random.split(folded, 4)
+    return {"specaug": keys[0], "dropout": keys[1], "gumbel": keys[2],
+            "noise": keys[3]}
+
+
+def make_distil_train_step(model: DistilCTCModel):
+    """Returns train_step(state, batch, base_rng) -> (state, metrics).
+
+    batch: dict with `signal` (B, L) f32, `signal_len` (B,) i32,
+    `tokens` (B, S) i32, `token_len` (B,) i32.
+    """
+
+    def train_step(state: DistilTrainState, batch: Dict[str, jnp.ndarray],
+                   base_rng: jax.Array):
+        rngs = _step_rngs(base_rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables, batch["signal"], batch["signal_len"],
+                batch["tokens"], batch["token_len"], train=True,
+                rngs=rngs, mutable=["batch_stats"])
+            return out.losses["total"], (out, mutated.get("batch_stats",
+                                                          state.batch_stats))
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                                 state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt_state)
+        metrics = {f"loss/{k}": v for k, v in out.losses.items()}
+        metrics.update(out.metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_distil_eval_step(model: DistilCTCModel):
+    """eval_step(state, batch) -> (metrics, decoded tokens + lengths).
+
+    Greedy CTC decode stays on device (vectorized collapse/dedup); only the
+    final packed token ids come back to host for detokenize + WER.
+    """
+
+    def eval_step(state: DistilTrainState, batch: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(variables, batch["signal"], batch["signal_len"],
+                          batch.get("tokens"), batch.get("token_len"),
+                          train=False)
+        tokens, n_tokens = ctc_greedy_decode(out.log_probs, out.encoded_len)
+        metrics = {f"loss/{k}": v for k, v in out.losses.items()}
+        return metrics, (tokens, n_tokens)
+
+    return eval_step
