@@ -1,0 +1,94 @@
+"""Host-side audio IO — replaces the reference's libsndfile/soundfile decode
+(N11/R5 in SURVEY.md; `soundfile` is not available in this image).
+
+Self-contained RIFF/WAVE reader supporting PCM 8/16/24/32-bit and IEEE-float
+payloads, multi-channel -> mono mean, plus polyphase resampling to the model
+sample rate (scipy), and a PCM16 writer for tmp-wav fallbacks
+(asr_train.py:129-142). FLAC/MP3/Opus decode requires external libs the image
+lacks — those raise a clear error and are gated at the manifest layer.
+"""
+
+from __future__ import annotations
+
+import struct
+import wave
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+from scipy.signal import resample_poly
+
+
+def read_wav(path) -> Tuple[np.ndarray, int]:
+    """Returns (mono float32 waveform in [-1, 1], sample_rate)."""
+    data = Path(path).read_bytes()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file: {path} "
+                         "(FLAC/MP3/Opus need external decoders not present "
+                         "in this environment)")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError(f"malformed wav: {path}")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE and len(raw) and fmt is not None:
+        # WAVE_FORMAT_EXTENSIBLE: subformat GUID starts with the real format
+        audio_format = 1 if bits in (8, 16, 24, 32) else 3
+
+    if audio_format == 1:                   # PCM
+        if bits == 8:
+            x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            x = ((b[:, 0].astype(np.int32)) | (b[:, 1].astype(np.int32) << 8)
+                 | (b[:, 2].astype(np.int32) << 16))
+            x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(raw, "<i4").astype(np.float32) / float(1 << 31)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}: {path}")
+    elif audio_format == 3:                 # IEEE float
+        x = np.frombuffer(raw, "<f4" if bits == 32 else "<f8").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported wav format {audio_format}: {path}")
+
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    return np.ascontiguousarray(x), sample_rate
+
+
+def write_wav(path, x: np.ndarray, sample_rate: int) -> None:
+    """PCM16 mono writer (tmp-wav fallback, asr_train.py:141)."""
+    x16 = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    x16 = (x16 * 32767.0).astype("<i2")
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(x16.tobytes())
+
+
+def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    if orig_sr == target_sr:
+        return x
+    from math import gcd
+    g = gcd(orig_sr, target_sr)
+    return resample_poly(x, target_sr // g, orig_sr // g).astype(np.float32)
+
+
+def load_audio(path, target_sr: int = 16000) -> np.ndarray:
+    """Decode + mono + resample to target_sr, float32."""
+    x, sr = read_wav(path)
+    return resample(x, sr, target_sr)

@@ -1,0 +1,162 @@
+"""Audio-to-BPE dataset + static-shape bucketed dataloader.
+
+Rebuilds the snapshot-stripped NeMo AudioToBPEDataset contract (N11 in
+SURVEY.md §2.2, pinned by the dataloader config at conformer_ctc_bpe.yaml:55-90
+and `_setup_dataloader_from_config`, ctc_models.py:304-381):
+JSONL manifest -> duration filter (min 0.1 / max 16.7 s) -> host decode ->
+tokenize -> pad-collate (signal, signal_len, tokens, token_len).
+
+TPU-first differences from the torch DataLoader path:
+- Duration bucketing with QUANTIZED pad lengths: each batch's audio is padded
+  to a bucket edge and token arrays to a multiple of a fixed quantum, so the
+  jitted step sees a small, bounded set of shapes (XLA compiles once per
+  bucket) instead of a fresh shape every step. This replaces NeMo's
+  semi-sorted batching (ctc_bpe_models.py:31) and the DDP max-len sync.
+- `prefetch_to_device` double-buffers host->device transfers so input feed
+  overlaps the accelerator step (replaces DALI/pinned-memory workers).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from tpu_asr.config import DataConfig
+from tpu_asr.data.audio import load_audio
+from tpu_asr.data.manifest import ManifestEntry, read_manifest
+from tpu_asr.data.tokenizer import SentencePieceBPETokenizer
+
+
+@dataclass
+class Sample:
+    signal: np.ndarray       # (L,) float32 @ sample_rate
+    tokens: np.ndarray       # (S,) int32
+    text: str
+    duration: float
+
+
+class AudioToBPEDataset:
+    """Manifest-backed dataset with on-demand host decode + tokenize."""
+
+    def __init__(self, manifest_filepath: str,
+                 tokenizer: SentencePieceBPETokenizer,
+                 sample_rate: int = 16000,
+                 min_duration: float = 0.1,
+                 max_duration: float = 16.7):
+        self.tokenizer = tokenizer
+        self.sample_rate = sample_rate
+        entries = read_manifest(manifest_filepath)
+        self.entries: List[ManifestEntry] = [
+            e for e in entries
+            if (min_duration is None or e.duration >= min_duration)
+            and (max_duration is None or e.duration <= max_duration)]
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> Sample:
+        e = self.entries[i]
+        signal = load_audio(e.audio_filepath, self.sample_rate)
+        tokens = np.asarray(self.tokenizer.text_to_ids(e.text), np.int32)
+        return Sample(signal, tokens, e.text, e.duration)
+
+
+def _bucket_edges(max_duration: float, num_buckets: int,
+                  sample_rate: int) -> np.ndarray:
+    """Linear duration buckets; each edge is a static padded signal length."""
+    edges = np.linspace(max_duration / num_buckets, max_duration, num_buckets)
+    return np.ceil(edges * sample_rate).astype(np.int64)
+
+
+def make_dataloader(dataset: AudioToBPEDataset, cfg: DataConfig,
+                    epoch: int = 0, drop_last: bool = False,
+                    token_quantum: int = 16,
+                    num_shards: int = 1, shard_index: int = 0,
+                    ) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields dict batches with bucket-quantized static shapes.
+
+    Batches are formed within duration buckets (semi-sorted batching), shuffled
+    with a per-epoch seed; `num_shards`/`shard_index` stripe the manifest for
+    multi-host input sharding over DCN (SURVEY.md §5).
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if cfg.shuffle:
+        rng = np.random.default_rng(cfg.seed + epoch)
+        rng.shuffle(order)
+    order = order[shard_index::num_shards]
+
+    edges = _bucket_edges(cfg.max_duration, cfg.num_buckets,
+                          dataset.sample_rate)
+    durations = np.asarray([dataset.entries[i].duration for i in order])
+    sig_lens = np.ceil(durations * dataset.sample_rate).astype(np.int64)
+    bucket_of = np.searchsorted(edges, sig_lens, side="left").clip(0, len(edges) - 1)
+
+    buckets: List[List[int]] = [[] for _ in edges]
+    for idx, b in zip(order, bucket_of):
+        buckets[b].append(int(idx))
+
+    batches: List[tuple] = []   # (bucket_id, [indices])
+    for b, idxs in enumerate(buckets):
+        for s in range(0, len(idxs), cfg.batch_size):
+            chunk = idxs[s:s + cfg.batch_size]
+            if drop_last and len(chunk) < cfg.batch_size:
+                continue
+            batches.append((b, chunk))
+    if cfg.shuffle:
+        rng = np.random.default_rng(cfg.seed * 7919 + epoch)
+        rng.shuffle(batches)
+
+    for b, idxs in batches:
+        samples = [dataset[i] for i in idxs]
+        pad_sig = int(edges[b])
+        max_tok = max((len(s.tokens) for s in samples), default=1)
+        pad_tok = max(token_quantum,
+                      int(math.ceil(max_tok / token_quantum) * token_quantum))
+        bs = len(samples)
+        signal = np.zeros((bs, pad_sig), np.float32)
+        signal_len = np.zeros((bs,), np.int32)
+        tokens = np.zeros((bs, pad_tok), np.int32)
+        token_len = np.zeros((bs,), np.int32)
+        for i, s in enumerate(samples):
+            ln = min(len(s.signal), pad_sig)
+            signal[i, :ln] = s.signal[:ln]
+            signal_len[i] = ln
+            tl = min(len(s.tokens), pad_tok)
+            tokens[i, :tl] = s.tokens[:tl]
+            token_len[i] = tl
+        yield {"signal": signal, "signal_len": signal_len,
+               "tokens": tokens, "token_len": token_len,
+               "texts": [s.text for s in samples]}
+
+
+def prefetch_to_device(iterator, mesh=None, size: int = 2):
+    """Double-buffered host->device feed. With a mesh, the batch axis is
+    sharded over `data`; otherwise plain device_put."""
+    import collections
+
+    import jax
+
+    from tpu_asr.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def put(batch):
+        texts = batch.pop("texts", None)
+        if sharding is not None:
+            out = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        else:
+            out = {k: jax.device_put(v) for k, v in batch.items()}
+        out["texts"] = texts
+        return out
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

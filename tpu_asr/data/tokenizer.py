@@ -1,0 +1,248 @@
+"""SentencePiece-compatible BPE tokenizer — self-contained rebuild of the
+tokenizer slice the reference exercises (N13 in SURVEY.md §2.2: NeMo's
+SentencePieceTokenizer wrapping the SentencePiece C++ lib; the teacher ships a
+128-piece BPE model inside its .nemo archive).
+
+The `sentencepiece` library is not available in this image, so this module
+implements the pieces needed for parity:
+
+- a minimal protobuf wire-format reader for SentencePiece `ModelProto` files
+  (field 1 = repeated SentencePiece{piece=1:string, score=2:float,
+  type=3:enum}), enough to load the teacher's shipped `tokenizer.model`;
+- SentencePiece-BPE encoding: text -> `▁`-marked symbols (whitespace escape +
+  dummy prefix) -> greedy highest-score adjacent-pair merging — the same
+  algorithm the C++ BPE model applies, so ids match the reference tokenizer
+  for any model whose pieces/scores we load;
+- decoding (ids -> pieces -> text, `▁` -> space);
+- a small BPE trainer (score = -merge_rank, SentencePiece convention) so
+  tokenizers can be built from a corpus without external tools.
+
+Tokenization is host-side, off the hot path (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from collections import Counter
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+WS = "▁"   # ▁ SentencePiece whitespace marker
+
+# SentencePiece piece types (sentencepiece_model.proto)
+_TYPE_NORMAL = 1
+_TYPE_UNKNOWN = 2
+_TYPE_CONTROL = 3
+_TYPE_USER_DEFINED = 4
+_TYPE_UNUSED = 5
+_TYPE_BYTE = 6
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire-format reader (just enough for ModelProto)
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        byte = buf[pos]
+        pos += 1
+        result |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:                      # varint
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:                    # fixed64
+            val = buf[pos:pos + 8]
+            pos += 8
+        elif wire == 2:                    # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:                    # fixed32
+            val = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def parse_sentencepiece_model(data: bytes) -> List[Tuple[str, float, int]]:
+    """ModelProto bytes -> [(piece, score, type), ...] in id order."""
+    pieces: List[Tuple[str, float, int]] = []
+    for field, wire, val in _iter_fields(data):
+        if field == 1 and wire == 2:       # repeated SentencePiece
+            piece, score, ptype = "", 0.0, _TYPE_NORMAL
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 1 and w2 == 2:
+                    piece = v2.decode("utf-8")
+                elif f2 == 2 and w2 == 5:
+                    score = struct.unpack("<f", v2)[0]
+                elif f2 == 3 and w2 == 0:
+                    ptype = v2
+            pieces.append((piece, score, ptype))
+    if not pieces:
+        raise ValueError("no pieces found — not a SentencePiece model?")
+    return pieces
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+class SentencePieceBPETokenizer:
+    """BPE tokenizer with SentencePiece encode/decode semantics.
+
+    vocab ids are piece indices; `unk_id` is the UNKNOWN-type piece (0 in
+    standard models). CTC blank is NOT part of the vocab (NeMo appends it as
+    the last decoder class, conv_asr.py:407-507).
+    """
+
+    def __init__(self, pieces: Sequence[Tuple[str, float, int]],
+                 add_dummy_prefix: bool = True):
+        self.pieces = [p for p, _, _ in pieces]
+        self.scores = [s for _, s, _ in pieces]
+        self.types = [t for _, _, t in pieces]
+        self.piece_to_id: Dict[str, int] = {p: i for i, p in enumerate(self.pieces)}
+        self.add_dummy_prefix = add_dummy_prefix
+        unk = [i for i, t in enumerate(self.types) if t == _TYPE_UNKNOWN]
+        self.unk_id = unk[0] if unk else 0
+        self._control = {i for i, t in enumerate(self.types)
+                         if t in (_TYPE_CONTROL, _TYPE_UNUSED)}
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_file(cls, path) -> "SentencePieceBPETokenizer":
+        path = Path(path)
+        data = path.read_bytes()
+        if data[:1] == b"{":               # our JSON format
+            obj = json.loads(data)
+            return cls([(p, s, t) for p, s, t in obj["pieces"]],
+                       obj.get("add_dummy_prefix", True))
+        return cls(parse_sentencepiece_model(data))
+
+    def save(self, path) -> None:
+        obj = {"pieces": [[p, s, t] for p, s, t in
+                          zip(self.pieces, self.scores, self.types)],
+               "add_dummy_prefix": self.add_dummy_prefix}
+        Path(path).write_text(json.dumps(obj, ensure_ascii=False))
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def vocab_size(self) -> int:
+        return len(self.pieces)
+
+    @property
+    def vocab(self) -> List[str]:
+        return list(self.pieces)
+
+    # -- encode -------------------------------------------------------------
+    def _pretokenize(self, text: str) -> List[str]:
+        text = text.replace(" ", WS)
+        if self.add_dummy_prefix and not text.startswith(WS):
+            text = WS + text
+        return list(text)
+
+    def encode_pieces(self, text: str) -> List[str]:
+        """Greedy highest-score adjacent merge (SentencePiece BPE)."""
+        if not text:
+            return []
+        symbols = self._pretokenize(text)
+        while len(symbols) > 1:
+            best_score = None
+            best_idx = -1
+            for i in range(len(symbols) - 1):
+                merged = symbols[i] + symbols[i + 1]
+                mid = self.piece_to_id.get(merged)
+                if mid is None or mid in self._control:
+                    continue
+                sc = self.scores[mid]
+                if best_score is None or sc > best_score:
+                    best_score = sc
+                    best_idx = i
+            if best_idx < 0:
+                break
+            symbols[best_idx:best_idx + 2] = [symbols[best_idx] +
+                                              symbols[best_idx + 1]]
+        return symbols
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return [self.piece_to_id.get(p, self.unk_id)
+                for p in self.encode_pieces(text)]
+
+    # -- decode -------------------------------------------------------------
+    def ids_to_text(self, ids: Iterable[int]) -> str:
+        pieces = [self.pieces[i] for i in ids
+                  if 0 <= i < len(self.pieces) and i not in self._control]
+        text = "".join(pieces).replace(WS, " ")
+        return text.lstrip(" ")
+
+    def ids_to_pieces(self, ids: Iterable[int]) -> List[str]:
+        return [self.pieces[i] for i in ids if 0 <= i < len(self.pieces)]
+
+
+def train_bpe(corpus: Iterable[str], vocab_size: int,
+              character_coverage: float = 1.0) -> SentencePieceBPETokenizer:
+    """Tiny BPE trainer with SentencePiece conventions: `<unk>` id 0 (UNKNOWN),
+    `<s>`/`</s>` control pieces, `▁`-marked words, score = -merge_rank.
+
+    Replaces the reference's offline NeMo tokenizer-build step for training
+    from scratch (the KD scripts themselves reuse the teacher's tokenizer).
+    """
+    word_counts: Counter = Counter()
+    char_counts: Counter = Counter()
+    for line in corpus:
+        for w in line.strip().split():
+            word_counts[WS + w] += 1
+            for ch in WS + w:
+                char_counts[ch] += 1
+
+    # alphabet by frequency (full coverage by default)
+    alphabet = [c for c, _ in char_counts.most_common()]
+    specials = [("<unk>", 0.0, _TYPE_UNKNOWN), ("<s>", 0.0, _TYPE_CONTROL),
+                ("</s>", 0.0, _TYPE_CONTROL)]
+    n_reserved = len(specials) + len(alphabet)
+    if vocab_size < n_reserved:
+        raise ValueError(f"vocab_size {vocab_size} < alphabet+specials {n_reserved}")
+
+    words = {w: (list(w), c) for w, c in word_counts.items()}
+    merges: List[str] = []
+    while len(merges) < vocab_size - n_reserved:
+        pair_counts: Counter = Counter()
+        for sym, cnt in words.values():
+            for i in range(len(sym) - 1):
+                pair_counts[(sym[i], sym[i + 1])] += cnt
+        if not pair_counts:
+            break
+        (a, b), cnt = pair_counts.most_common(1)[0]
+        if cnt < 2:
+            break
+        merged = a + b
+        merges.append(merged)
+        for w, (sym, c) in words.items():
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == a and sym[i + 1] == b:
+                    sym[i:i + 2] = [merged]
+                else:
+                    i += 1
+
+    pieces = list(specials)
+    # alphabet pieces score below all merges (sentencepiece puts chars last)
+    for rank, m in enumerate(merges):
+        pieces.append((m, -float(rank), _TYPE_NORMAL))
+    base = len(merges)
+    for rank, ch in enumerate(alphabet):
+        pieces.append((ch, -float(base + rank), _TYPE_NORMAL))
+    return SentencePieceBPETokenizer(pieces)
