@@ -1,0 +1,122 @@
+"""End-to-end fast_dev_run-style test (SURVEY.md §4 tier 3): synthetic wav
+corpus -> manifest -> tokenizer -> KD Trainer.fit (few steps on the 8-device
+mesh) -> checkpoint -> resume -> evaluate WER. Mirrors the reference's
+`--test_mode` smoke path (asr_train.py:1663-1681) without network/data deps.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tpu_asr.config import (DataConfig, DecoderConfig, DistillationConfig,
+                            EncoderConfig, ModelConfig, OptimConfig,
+                            PreprocessorConfig, TrainConfig,
+                            make_student_config)
+from tpu_asr.data.manifest import ManifestEntry, write_manifest
+from tpu_asr.data.audio import write_wav
+from tpu_asr.data.tokenizer import train_bpe
+from tpu_asr.models.distil_model import DistilCTCModel
+from tpu_asr.train.loop import Trainer
+from tpu_asr.utils.checkpoint import (export_student, load_student,
+                                      restore_train_state, rotate_last,
+                                      save_train_state)
+
+
+TEXTS = ["the cat sat", "a dog ran fast", "hello world again",
+         "speech is fun", "jax on tpu", "the quick brown fox"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    entries = []
+    for i, text in enumerate(TEXTS):
+        dur = 0.8 + 0.1 * i
+        x = (rng.normal(size=int(16000 * dur)) * 0.1).astype(np.float32)
+        p = root / f"utt{i}.wav"
+        write_wav(p, x, 16000)
+        entries.append(ManifestEntry(str(p), dur, text))
+    man = root / "train.jsonl"
+    write_manifest(man, entries)
+    tok = train_bpe(TEXTS * 5, vocab_size=48)
+    return root, str(man), tok
+
+
+def _small_cfg(vocab_size):
+    teacher = ModelConfig(
+        preprocessor=PreprocessorConfig(features=24),
+        spec_augment=None,
+        encoder=EncoderConfig(feat_in=24, n_layers=2, d_model=32, n_heads=4,
+                              conv_kernel_size=7, conv_norm_type="layer_norm",
+                              dropout=0.0, dropout_pre_encoder=0.0,
+                              dropout_att=0.0),
+        decoder=DecoderConfig(feat_in=32, num_classes=vocab_size),
+        compute_dtype="float32",
+    )
+    return teacher
+
+
+def test_trainer_fit_checkpoint_resume_eval(corpus, tmp_path):
+    root, manifest, tok = corpus
+    teacher_cfg = _small_cfg(tok.vocab_size)
+    student_cfg = make_student_config(teacher_cfg)
+    distill = DistillationConfig(use_logit_distillation=True, kd_alpha=0.1)
+    model = DistilCTCModel(student_cfg, teacher_cfg, distill)
+
+    cfg = TrainConfig(
+        model=student_cfg, distillation=distill,
+        optim=OptimConfig(lr=1e-3, sched_name="none", d_model=16,
+                          gradient_clip_val=1.0),
+        train_ds=DataConfig(batch_size=3, num_buckets=2, max_duration=2.0,
+                            seed=0),
+        test_ds=DataConfig(batch_size=3, num_buckets=2, max_duration=2.0,
+                           shuffle=False),
+        max_epochs=2, dp_size=1)
+
+    workdir = tmp_path / "run1"
+    trainer = Trainer(model, cfg, tok, workdir, log_every=1)
+    state = trainer.fit(manifest, max_steps=4)
+    assert int(state.step) == 4
+    assert (workdir / "checkpoints" / "last").exists()
+    assert (workdir / "metrics.jsonl").exists()
+    rows = [json.loads(l) for l in open(workdir / "metrics.jsonl")]
+    assert any("loss/total" in r for r in rows)
+
+    # evaluate produces a finite WER
+    metrics = trainer.evaluate(manifest)
+    assert metrics["num_utts"] == len(TEXTS)
+    assert 0.0 <= metrics["wer"] <= 3.0
+
+    # resume continues the step counter
+    import jax
+    from tpu_asr.data.dataset import AudioToBPEDataset, make_dataloader
+
+    trainer2 = Trainer(model, cfg, tok, workdir, log_every=10)
+    ds = AudioToBPEDataset(manifest, tok, 16000, 0.1, 2.0)
+    first = next(iter(make_dataloader(ds, cfg.train_ds, epoch=0)))
+    trainer2.init_state(first)
+    trainer2.state = restore_train_state(workdir / "checkpoints", trainer2.state)
+    assert int(trainer2.state.step) == 4
+
+    # student-only export loads back into a bare student template
+    export_student(workdir / "checkpoints", trainer2.state, student_cfg)
+    params, stats = load_student(workdir / "checkpoints" / "student",
+                                 trainer2.state.params["student"])
+    leaves_a = jax.tree.leaves(params)
+    leaves_b = jax.tree.leaves(trainer2.state.params["student"])
+    assert len(leaves_a) == len(leaves_b)
+    np.testing.assert_array_equal(np.asarray(leaves_a[0]),
+                                  np.asarray(leaves_b[0]))
+
+
+def test_rotate_last(tmp_path):
+    ck = tmp_path / "checkpoints"
+    (ck / "last").mkdir(parents=True)
+    rotate_last(ck)
+    assert (ck / "last-v1").exists() and not (ck / "last").exists()
+    (ck / "last").mkdir()
+    rotate_last(ck)
+    assert (ck / "last-v2").exists()

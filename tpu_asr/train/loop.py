@@ -1,0 +1,189 @@
+"""High-level training/eval loop — the Lightning `Trainer.fit`/`trainer.test`
+equivalent (reference asr_train.py:1690-1890, NeMo ctc_models.py:549-692),
+driving the jitted KD step over a data mesh.
+
+- One compiled program per duration bucket (static shapes; XLA caches by shape).
+- Per-epoch checkpoints (`last` + rotation), preemption-safe SIGTERM save.
+- Metrics: console + JSONL file (runs/<exp>/metrics.jsonl); W&B is used when
+  the library is importable (the image lacks it — same flags, graceful stub),
+  replacing the reference's WandbLogger (asr_train.py:1687-1690).
+- `evaluate` reproduces validation_pass: CTC loss + greedy decode -> tokenizer
+  detok -> WER accumulated as (scores, words) sums (wer.py:289-359).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from tpu_asr.config import TrainConfig
+from tpu_asr.data.dataset import (AudioToBPEDataset, make_dataloader,
+                                  prefetch_to_device)
+from tpu_asr.data.tokenizer import SentencePieceBPETokenizer
+from tpu_asr.models.distil_model import DistilCTCModel
+from tpu_asr.parallel.mesh import make_mesh, replicated
+from tpu_asr.train.optim import build_optimizer
+from tpu_asr.train.trainer import (DistilTrainState, make_distil_eval_step,
+                                   make_distil_train_step)
+from tpu_asr.utils.checkpoint import (install_preemption_handler, rotate_last,
+                                      restore_train_state, save_train_state)
+from tpu_asr.utils.wer import WERMetric
+
+
+class MetricsLogger:
+    """Console + JSONL metrics; W&B passthrough when available."""
+
+    def __init__(self, workdir: Path, project: str = "", name: str = ""):
+        self.path = Path(workdir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._wandb = None
+        try:  # pragma: no cover - wandb absent in this image
+            import wandb
+            self._wandb = wandb.init(project=project or None,
+                                     name=name or None, dir=str(workdir))
+        except Exception:
+            self._wandb = None
+
+    def log(self, metrics: Dict, step: int) -> None:
+        row = {"step": int(step)}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        if self._wandb is not None:  # pragma: no cover
+            self._wandb.log(row, step=int(step))
+
+
+class Trainer:
+    """Config-driven KD trainer (one class for all four reference trainers)."""
+
+    def __init__(self, model: DistilCTCModel, cfg: TrainConfig,
+                 tokenizer: SentencePieceBPETokenizer, workdir,
+                 log_every: int = 50):
+        self.model = model
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.workdir = Path(workdir)
+        self.ckpt_dir = self.workdir / "checkpoints"
+        self.mesh = make_mesh(dp_size=cfg.dp_size, tp_size=cfg.tp_size)
+        self.logger = MetricsLogger(self.workdir)
+        self.log_every = log_every
+        self._train_step = jax.jit(make_distil_train_step(model))
+        self._eval_step = jax.jit(make_distil_eval_step(model))
+        self.state: Optional[DistilTrainState] = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, sample_batch: Dict[str, np.ndarray],
+                   rng_seed: int = 0) -> DistilTrainState:
+        key = jax.random.PRNGKey(rng_seed)
+        variables = self.model.init(
+            {"params": key, "specaug": key, "dropout": key, "gumbel": key,
+             "noise": key},
+            sample_batch["signal"], sample_batch["signal_len"],
+            sample_batch["tokens"], sample_batch["token_len"], train=True)
+        tx = build_optimizer(self.cfg.optim, variables["params"])
+        self.state = DistilTrainState.create(
+            apply_fn=self.model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}), tx=tx)
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        return self.state
+
+    def load_teacher_params(self, teacher_params, teacher_stats=None) -> None:
+        """Inject converted teacher weights (replaces from_pretrained)."""
+        assert self.state is not None, "call init_state first"
+        params = dict(self.state.params)
+        params["teacher"] = teacher_params
+        stats = dict(self.state.batch_stats or {})
+        if teacher_stats:
+            stats["teacher"] = teacher_stats
+        # opt_state must be rebuilt so the frozen mask sees the same tree
+        tx = build_optimizer(self.cfg.optim, params)
+        self.state = DistilTrainState.create(
+            apply_fn=self.model.apply, params=params, batch_stats=stats,
+            tx=tx).replace(step=self.state.step)
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+
+    # ------------------------------------------------------------------
+    def fit(self, train_manifest: str, val_manifest: Optional[str] = None,
+            resume: bool = False, rng_seed: int = 0,
+            max_steps: Optional[int] = None) -> DistilTrainState:
+        cfg = self.cfg
+        dataset = AudioToBPEDataset(
+            train_manifest, self.tokenizer, cfg.train_ds.sample_rate,
+            cfg.train_ds.min_duration, cfg.train_ds.max_duration)
+        if len(dataset) == 0:
+            raise ValueError(f"empty training dataset: {train_manifest}")
+
+        # bootstrap state from the first batch's shapes
+        first = next(iter(make_dataloader(dataset, cfg.train_ds, epoch=0)))
+        if self.state is None:
+            self.init_state(first, rng_seed)
+        if resume and (self.ckpt_dir / "last").exists():
+            self.state = restore_train_state(self.ckpt_dir, self.state)
+        else:
+            rotate_last(self.ckpt_dir)
+
+        install_preemption_handler(
+            lambda: save_train_state(self.ckpt_dir, self.state))
+
+        base_rng = jax.random.PRNGKey(cfg.seed)
+        t0 = time.perf_counter()
+        done = False
+        for epoch in range(cfg.max_epochs):
+            if done:
+                break
+            loader = prefetch_to_device(
+                make_dataloader(dataset, cfg.train_ds, epoch=epoch),
+                self.mesh)
+            for batch in loader:
+                batch.pop("texts", None)
+                self.state, metrics = self._train_step(self.state, batch,
+                                                       base_rng)
+                step = int(self.state.step)
+                if step % self.log_every == 0 or step == 1:
+                    metrics = jax.device_get(metrics)
+                    metrics["epoch"] = epoch
+                    metrics["steps_per_sec"] = step / max(
+                        time.perf_counter() - t0, 1e-9)
+                    self.logger.log(metrics, step)
+                if max_steps is not None and step >= max_steps:
+                    done = True
+                    break
+            save_train_state(self.ckpt_dir, self.state)
+            if val_manifest:
+                val = self.evaluate(val_manifest)
+                self.logger.log({f"val/{k}": v for k, v in val.items()},
+                                int(self.state.step))
+        return self.state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, manifest: str, split_name: str = "val") -> Dict[str, float]:
+        cfg = self.cfg
+        assert self.state is not None
+        dataset = AudioToBPEDataset(
+            manifest, self.tokenizer, cfg.test_ds.sample_rate,
+            cfg.test_ds.min_duration, cfg.test_ds.max_duration)
+        wer = WERMetric()
+        losses = []
+        n = 0
+        for batch in prefetch_to_device(
+                make_dataloader(dataset, cfg.test_ds, epoch=0), self.mesh):
+            texts = batch.pop("texts")
+            metrics, (tokens, n_tokens) = self._eval_step(self.state, batch)
+            losses.append(float(metrics["loss/ctc"]) * len(texts))
+            n += len(texts)
+            tokens = np.asarray(tokens)
+            n_tokens = np.asarray(n_tokens)
+            hyps = [self.tokenizer.ids_to_text(tokens[i, :n_tokens[i]].tolist())
+                    for i in range(tokens.shape[0])]
+            wer.update(hyps, texts)
+        return {"wer": wer.compute(), "loss": (sum(losses) / max(n, 1)),
+                "num_utts": float(n)}
