@@ -1,0 +1,120 @@
+"""CLI smoke tests (SURVEY.md §4 tier 3): the asr_train.py /
+asr_inference.py / diffm entry points run end-to-end offline — tiny synthetic
+.nemo teacher, explicit manifests, 1 epoch, then inference from the produced
+checkpoint. Mirrors the reference's --test_mode smoke path without network.
+"""
+
+import sys
+import tarfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+import yaml
+
+import tests.test_convert as tc
+from tests.test_convert import TModel, D_MODEL, FEAT, KERNEL, N_HEADS, N_LAYERS
+
+VOCAB = 32   # big enough for the fallback BPE alphabet (test_convert uses 12)
+from tpu_asr.data.audio import write_wav
+from tpu_asr.data.manifest import ManifestEntry, write_manifest
+
+
+TEXTS = ["the cat sat", "a dog ran", "hello world", "speech is fun",
+         "jax on tpu", "quick brown fox"]
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    # corpus + manifests
+    rng = np.random.default_rng(0)
+    entries = []
+    for i, text in enumerate(TEXTS):
+        dur = 0.8 + 0.1 * i
+        x = (rng.normal(size=int(16000 * dur)) * 0.1).astype(np.float32)
+        p = root / f"utt{i}.wav"
+        write_wav(p, x, 16000)
+        entries.append(ManifestEntry(str(p), dur, text))
+    train_man = root / "train.jsonl"
+    val_man = root / "val.jsonl"
+    write_manifest(train_man, entries)
+    write_manifest(val_man, entries[:3])
+
+    # tiny .nemo teacher (patch the decoder vocab before construction)
+    torch.manual_seed(0)
+    old_vocab = tc.VOCAB
+    tc.VOCAB = VOCAB
+    try:
+        tm = TModel().eval()
+    finally:
+        tc.VOCAB = old_vocab
+    pack = root / "pack"
+    pack.mkdir()
+    cfg_yaml = {
+        "preprocessor": {"features": FEAT, "sample_rate": 16000},
+        "encoder": {"feat_in": FEAT, "n_layers": N_LAYERS, "d_model": D_MODEL,
+                    "n_heads": N_HEADS, "conv_kernel_size": KERNEL,
+                    "dropout": 0.0, "dropout_pre_encoder": 0.0,
+                    "dropout_att": 0.0},
+        "decoder": {"feat_in": D_MODEL, "num_classes": VOCAB},
+    }
+    with open(pack / "model_config.yaml", "w") as f:
+        yaml.safe_dump(cfg_yaml, f)
+    torch.save(tm.state_dict(), pack / "model_weights.ckpt")
+    nemo = root / "teacher.nemo"
+    with tarfile.open(nemo, "w:gz") as tar:
+        for p in pack.iterdir():
+            tar.add(p, arcname=p.name)
+    return root, str(train_man), str(val_man), str(nemo)
+
+
+def _train_args(root, train_man, val_man, nemo, extra=()):
+    return ["--train_manifest", train_man, "--val_manifest", val_man,
+            "--teacher_nemo", nemo, "--output_dir", str(root / "out"),
+            "--epochs", "1", "--batch_size", "3", "--gpus", "1",
+            *extra]
+
+
+def test_asr_train_cli_logit_kd(env, monkeypatch, capsys):
+    root, train_man, val_man, nemo = env
+    import asr_train
+    monkeypatch.setattr(sys, "argv", ["asr_train.py"] + _train_args(
+        root, train_man, val_man, nemo,
+        ["--use_logit_distillation", "true", "--kd_alpha", "0.5"]))
+    asr_train.main()
+    out = capsys.readouterr().out
+    assert "wer=" in out
+    ckpt = root / "out" / "run" / "checkpoints"
+    assert (ckpt / "last").exists()
+    assert (ckpt / "student").exists()
+
+
+def test_asr_inference_cli(env, monkeypatch, capsys):
+    root, train_man, val_man, nemo = env
+    ckpt = root / "out" / "run" / "checkpoints" / "last"
+    assert ckpt.exists(), "run the training test first"
+    import asr_inference
+    monkeypatch.setattr(sys, "argv", ["asr_inference.py",
+                                      "--ckpt_path", str(ckpt),
+                                      "--test_manifest", val_man,
+                                      "--teacher_nemo", nemo,
+                                      "--output_dir", str(root / "out"),
+                                      "--batch_size", "3", "--gpus", "1",
+                                      "--use_logit_distillation", "true"])
+    asr_inference.main()
+    out = capsys.readouterr().out
+    assert "librispeech/test" in out and "wer=" in out
+
+
+def test_asr_train_diffm_cli(env, monkeypatch, capsys):
+    root, train_man, val_man, nemo = env
+    import asr_train_diffm
+    monkeypatch.setattr(sys, "argv", ["asr_train_diffm.py"] + _train_args(
+        root, train_man, val_man, nemo,
+        ["--model_version", "ver5", "--latent_dim", "12",
+         "--flow_steps", "2"]))
+    asr_train_diffm.main()
+    out = capsys.readouterr().out
+    assert "wer=" in out
