@@ -145,13 +145,26 @@ class FilterbankFeatures:
     __call__ is a pure jittable function.
     """
 
-    def __init__(self, cfg: Optional[PreprocessorConfig] = None):
+    def __init__(self, cfg: Optional[PreprocessorConfig] = None,
+                 backend: str = "auto"):
+        """backend: 'xla' | 'pallas' | 'auto'.
+
+        'pallas' runs the fused DFT+mel+log kernel (ops/pallas_features.py);
+        normalization/masking stay here either way. Measured on v5e-1
+        (B=32 x 15 s): XLA 2.5 ms/batch vs pallas 10.0 ms/batch — XLA fuses
+        the framing gather into the DFT matmul and wins, so 'auto' resolves
+        to 'xla' everywhere and the kernel stays available for configs where
+        the fusion pattern differs.
+        """
         self.cfg = cfg or PreprocessorConfig()
         c = self.cfg
         self.n_fft = c.n_fft
         self.hop_length = c.hop_length
         self.win_length = c.win_length
         self.n_mels = c.features
+        if backend == "auto":
+            backend = "xla"          # measured faster than the pallas kernel
+        self.backend = backend
         cos_b, sin_b = _dft_basis(c.n_fft, c.win_length, c.window)
         fb = mel_filterbank(c.sample_rate, c.n_fft, c.features, c.lowfreq, c.highfreq)
         self._cos = jnp.asarray(cos_b)
@@ -176,16 +189,23 @@ class FilterbankFeatures:
         if c.preemph is not None and c.preemph > 0.0:
             x = jnp.concatenate([x[:, :1], x[:, 1:] - c.preemph * x[:, :-1]], axis=1)
 
-        frames = frame_signal(x, self.n_fft, self.hop_length)          # (B, T, n_fft)
-        # STFT as two MXU matmuls against the windowed DFT basis.
-        re = jnp.einsum("btn,nf->btf", frames, self._cos, preferred_element_type=jnp.float32)
-        im = jnp.einsum("btn,nf->btf", frames, self._sin, preferred_element_type=jnp.float32)
-        power = re * re + im * im
-        if c.mag_power != 2.0:
-            power = jnp.power(jnp.sqrt(jnp.maximum(power, 0.0)), c.mag_power)
-        mel = jnp.einsum("btf,fm->btm", power, self._fb_t, preferred_element_type=jnp.float32)
-        if c.log:
-            mel = jnp.log(mel + c.log_zero_guard_value)
+        if self.backend == "pallas":
+            from tpu_asr.ops.pallas_features import fused_logmel
+            pad = self.n_fft // 2
+            xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+            n_frames = (xp.shape[1] - self.n_fft) // self.hop_length + 1
+            mel = fused_logmel(xp, n_frames, c)                        # (B, T, M)
+        else:
+            frames = frame_signal(x, self.n_fft, self.hop_length)      # (B, T, n_fft)
+            # STFT as two MXU matmuls against the windowed DFT basis.
+            re = jnp.einsum("btn,nf->btf", frames, self._cos, preferred_element_type=jnp.float32)
+            im = jnp.einsum("btn,nf->btf", frames, self._sin, preferred_element_type=jnp.float32)
+            power = re * re + im * im
+            if c.mag_power != 2.0:
+                power = jnp.power(jnp.sqrt(jnp.maximum(power, 0.0)), c.mag_power)
+            mel = jnp.einsum("btf,fm->btm", power, self._fb_t, preferred_element_type=jnp.float32)
+            if c.log:
+                mel = jnp.log(mel + c.log_zero_guard_value)
 
         seq_len = self.seq_len(length)
         t_idx = jnp.arange(mel.shape[1])[None, :]                       # (1, T)
