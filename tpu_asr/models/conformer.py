@@ -134,16 +134,25 @@ class RelPositionMultiHeadAttention(nn.Module):
         q_u = q + bias_u.astype(q.dtype)[None, None]
         q_v = q + bias_v.astype(q.dtype)[None, None]
 
-        # content score (B, H, T, T) and position score (B, H, T, 2T-1)
-        ac = jnp.einsum("bthd,bshd->bhts", q_u, k, preferred_element_type=jnp.float32)
-        bd = jnp.einsum("bthd,phd->bhtp", q_v, p, preferred_element_type=jnp.float32)
+        # Content score (B, H, T, T) and position score (B, H, T, 2T-1):
+        # accumulate in fp32 on the MXU but MATERIALIZE in the compute dtype —
+        # these are the encoder's largest intermediates (the bd tensor is
+        # ~2x the score matrix) and dominate HBM traffic at ASR sizes.
+        ac = jnp.einsum("bthd,bshd->bhts", q_u, k,
+                        preferred_element_type=jnp.float32).astype(self.dtype)
+        bd = jnp.einsum("bthd,phd->bhtp", q_v, p,
+                        preferred_element_type=jnp.float32).astype(self.dtype)
         bd = rel_shift(bd)
 
-        scores = (ac + bd) / math.sqrt(dk)                     # fp32
-        att_mask = (mask[:, None, None, :] & mask[:, None, :, None])
-        scores = jnp.where(att_mask, scores, -1.0e30)
-        attn = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.where(att_mask, attn, 0.0)
+        # Additive key-side mask (B, 1, 1, T): one broadcast add instead of
+        # two full (B, H, T, T) `where` passes. Padded QUERY rows produce
+        # garbage attention but every layer output is re-masked (ConformerLayer
+        # zeroes padded positions), so no post-softmax zeroing is needed.
+        neg = jnp.asarray(-30000.0 if self.dtype == jnp.bfloat16 else -1.0e30,
+                          self.dtype)
+        key_bias = jnp.where(mask, 0.0, neg)[:, None, None, :]
+        scores = (ac + bd) / math.sqrt(dk) + key_bias
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if self.dropout_rate > 0.0 and not deterministic:
             attn = nn.Dropout(self.dropout_rate, deterministic=False)(attn)
         out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v,
