@@ -105,6 +105,9 @@ class RelPositionMultiHeadAttention(nn.Module):
     n_heads: int
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    # (left, right) frames of attention context; -1 = unlimited. NeMo's
+    # `att_context_size` / rel_pos_local_attn (conformer_encoder.py:92-156).
+    att_context_size: Tuple[int, int] = (-1, -1)
 
     @nn.compact
     def __call__(
@@ -152,6 +155,17 @@ class RelPositionMultiHeadAttention(nn.Module):
                           self.dtype)
         key_bias = jnp.where(mask, 0.0, neg)[:, None, None, :]
         scores = (ac + bd) / math.sqrt(dk) + key_bias
+        left, right = self.att_context_size
+        if left >= 0 or right >= 0:
+            # block-local (limited-context) attention: key s visible from
+            # query t iff -left <= s - t <= right
+            rel = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None])  # s - t
+            local_ok = jnp.ones((t, t), bool)
+            if left >= 0:
+                local_ok &= rel >= -left
+            if right >= 0:
+                local_ok &= rel <= right
+            scores = scores + jnp.where(local_ok, 0.0, neg)[None, None]
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if self.dropout_rate > 0.0 and not deterministic:
             attn = nn.Dropout(self.dropout_rate, deterministic=False)(attn)
@@ -270,7 +284,8 @@ class ConformerLayer(nn.Module):
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm_self_att")(x)
         h = RelPositionMultiHeadAttention(
-            c.d_model, c.n_heads, c.dropout_att, self.dtype, name="self_attn"
+            c.d_model, c.n_heads, c.dropout_att, self.dtype,
+            tuple(c.att_context_size), name="self_attn"
         )(h, pos_emb, mask, deterministic=det)
         x = x + drop(h)
 
@@ -320,15 +335,34 @@ class ConformerEncoder(nn.Module):
 
         layer = ConformerLayer(c, self.dtype, name="layers")
 
-        def body(mod, carry, _):
+        # stochastic depth (NeMo conformer_encoder.py:699-710): layer l's
+        # output is dropped with prob p_l during training, otherwise the
+        # residual delta is rescaled by 1/(1-p_l).
+        drop_probs = np.zeros(c.n_layers, np.float32)
+        if c.stochastic_depth_drop_prob > 0.0:
+            p = c.stochastic_depth_drop_prob
+            start = c.stochastic_depth_start_layer
+            for l in range(start, c.n_layers):
+                if c.stochastic_depth_mode == "linear":
+                    drop_probs[l] = p * (l + 1 - start) / (c.n_layers - start)
+                else:                                   # "uniform"
+                    drop_probs[l] = p
+        use_sd = train and c.stochastic_depth_drop_prob > 0.0
+
+        def body(mod, carry, drop_p):
             y = mod(carry, pos_emb, mask, train=train)
+            if use_sd:
+                u = jax.random.uniform(mod.make_rng("layerdrop"), ())
+                keep = (u >= drop_p).astype(y.dtype)
+                y = carry + keep * (y - carry) / jnp.maximum(
+                    (1.0 - drop_p).astype(y.dtype), 1e-6)
             return y, y
 
         scanned = nn.scan(
             body,
             variable_axes={"params": 0, "batch_stats": 0},
-            split_rngs={"params": True, "dropout": True},
+            split_rngs={"params": True, "dropout": True, "layerdrop": True},
             length=c.n_layers,
         )
-        x, layer_feats = scanned(layer, x, None)
+        x, layer_feats = scanned(layer, x, jnp.asarray(drop_probs))
         return x, out_len, layer_feats

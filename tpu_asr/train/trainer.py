@@ -39,9 +39,9 @@ class DistilTrainState(struct.PyTreeNode):
 
 def _step_rngs(base_rng: jax.Array, step: jnp.ndarray) -> Dict[str, jax.Array]:
     folded = jax.random.fold_in(base_rng, step)
-    keys = jax.random.split(folded, 4)
+    keys = jax.random.split(folded, 5)
     return {"specaug": keys[0], "dropout": keys[1], "gumbel": keys[2],
-            "noise": keys[3]}
+            "noise": keys[3], "layerdrop": keys[4]}
 
 
 def make_distil_train_step(model: DistilCTCModel):
