@@ -13,5 +13,10 @@ setup(
             sources=["native/editdistance.c"],
             extra_compile_args=["-O3"],
         ),
+        Extension(
+            "tpu_asr.data._wavio",
+            sources=["native/wavio.c"],
+            extra_compile_args=["-O3"],
+        ),
     ],
 )

@@ -255,3 +255,42 @@ def test_dataloader_static_bucket_shapes(tmp_path):
     n1 = sum(b["signal"].shape[0] for b in make_dataloader(
         dataset, cfg, num_shards=2, shard_index=1))
     assert n0 + n1 == 10
+
+
+def test_native_wav_decoder_matches_python_oracle(tmp_path):
+    """The C decoder (native/wavio.c) must match the pure-python parser on
+    PCM16 mono, PCM24 stereo, and float32 stereo payloads."""
+    import struct as _struct
+
+    from tpu_asr.data.audio import _HAS_NATIVE, read_wav_python
+    if not _HAS_NATIVE:
+        pytest.skip("native ext not built")
+    from tpu_asr.data import _wavio
+
+    rng_ = np.random.default_rng(3)
+
+    def wav_bytes(fmt_code, bits, channels, payload, sr=16000):
+        fmt = _struct.pack("<HHIIHH", fmt_code, channels, sr,
+                           sr * channels * bits // 8,
+                           channels * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    cases = []
+    x16 = (rng_.normal(size=256) * 8000).astype("<i2")
+    cases.append(wav_bytes(1, 16, 1, x16.tobytes()))
+    xf = rng_.normal(size=(128, 2)).astype("<f4") * 0.5
+    cases.append(wav_bytes(3, 32, 2, xf.tobytes()))
+    x24 = (rng_.normal(size=(64, 2)) * 1e6).astype(np.int32)
+    b24 = bytearray()
+    for v in x24.flatten():
+        b24 += int(v).to_bytes(3, "little", signed=True)
+    cases.append(wav_bytes(1, 24, 2, bytes(b24)))
+
+    for raw in cases:
+        pcm, sr, n = _wavio.decode(raw)
+        got = np.frombuffer(pcm, np.float32, count=n)
+        want, sr2 = read_wav_python(raw)
+        assert sr == sr2
+        np.testing.assert_allclose(got, want, atol=1e-6)

@@ -1,0 +1,90 @@
+"""CTC decoding-strategy tests (mirrors NeMo tests/collections/asr/decoding/
+test_ctc_decoding.py coverage class: greedy vs beam, hypothesis contract,
+path-merging correctness — SURVEY.md §4)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_asr.data.tokenizer import train_bpe
+from tpu_asr.ops.ctc import ctc_greedy_decode
+from tpu_asr.ops.decoding import (CTCDecoding, Hypothesis,
+                                  ctc_prefix_beam_search)
+
+
+def _logsm(x):
+    x = np.asarray(x, np.float32)
+    return x - np.log(np.exp(x - x.max(-1, keepdims=True)).sum(-1, keepdims=True)) \
+        - x.max(-1, keepdims=True)
+
+
+def test_beam_merges_paths_where_greedy_fails():
+    """Classic CTC example: per-frame argmax picks blank, but the summed
+    probability of paths emitting token 0 is higher — beam search must find
+    it while greedy returns empty."""
+    # V=3: tokens {0, 1}, blank=2
+    probs = np.array([[0.4, 0.0, 0.6],
+                      [0.4, 0.0, 0.6]], np.float32)
+    lp = np.log(probs + 1e-9)
+    hyps = ctc_prefix_beam_search(lp, beam_width=4)
+    # P(empty) = 0.6*0.6 = 0.36; P([0]) = 0.4*0.6 + 0.6*0.4 + 0.4*0.4 = 0.64
+    assert hyps[0].y_sequence == [0]
+    np.testing.assert_allclose(math.exp(hyps[0].score), 0.64, rtol=1e-4)
+    empty = [h for h in hyps if h.y_sequence == []][0]
+    np.testing.assert_allclose(math.exp(empty.score), 0.36, rtol=1e-4)
+
+    greedy_tokens, n = ctc_greedy_decode(jnp.asarray(lp)[None], jnp.asarray([2]))
+    assert int(n[0]) == 0                      # greedy collapses to empty
+
+
+def test_beam_matches_greedy_on_peaked_distributions():
+    rng = np.random.default_rng(0)
+    v, t = 8, 12
+    # near-one-hot distributions -> beam and greedy must agree
+    ids = rng.integers(0, v, size=t)
+    lp = np.full((t, v), -20.0, np.float32)
+    lp[np.arange(t), ids] = -1e-4
+    hyps = ctc_prefix_beam_search(lp, beam_width=8)
+    greedy_tokens, n = ctc_greedy_decode(jnp.asarray(lp)[None],
+                                         jnp.asarray([t]))
+    greedy_seq = np.asarray(greedy_tokens)[0][: int(n[0])].tolist()
+    assert hyps[0].y_sequence == greedy_seq
+
+
+def test_ctc_decoding_api_greedy_and_beam():
+    tok = train_bpe(["ab ab ab", "b a"], vocab_size=16)
+    v = tok.vocab_size + 1
+    t = 6
+    rng = np.random.default_rng(1)
+    lp = _logsm(rng.normal(size=(2, t, v)).astype(np.float32))
+
+    for strategy in ("greedy", "beam"):
+        dec = CTCDecoding(tok, strategy=strategy, beam_width=4)
+        texts = dec.ctc_decoder_predictions_tensor(lp, np.asarray([t, t]))
+        assert len(texts) == 2 and all(isinstance(s, str) for s in texts)
+        hyps = dec.ctc_decoder_predictions_tensor(lp, np.asarray([t, t]),
+                                                  return_hypotheses=True)
+        assert all(isinstance(h, Hypothesis) for h in hyps)
+        assert all(h.text is not None for h in hyps)
+
+
+def test_beam_respects_seq_len():
+    lp = np.full((10, 3), np.log(1 / 3), np.float32)
+    lp[5:, 0] = 0.0      # strong token after t=5
+    hyps_full = ctc_prefix_beam_search(lp, beam_width=4)
+    hyps_trunc = ctc_prefix_beam_search(lp, seq_len=5, beam_width=4)
+    assert hyps_full[0].y_sequence != [] or hyps_trunc[0].y_sequence == []
+    # truncated search never sees the late token mass
+    assert all(h.score <= 0 for h in hyps_trunc)
+
+
+def test_beam_lm_hook_biases_output():
+    # uniform acoustics; LM prefers token 1
+    lp = np.log(np.full((4, 3), 1 / 3, np.float32))
+    lm = lambda prefix, c: (1.0 if c == 1 else -1.0)
+    hyps = ctc_prefix_beam_search(lp, beam_width=8, lm_score_fn=lm,
+                                  lm_weight=2.0)
+    assert 1 in hyps[0].y_sequence
+    assert 0 not in hyps[0].y_sequence

@@ -19,9 +19,29 @@ import numpy as np
 from scipy.signal import resample_poly
 
 
+try:
+    from tpu_asr.data import _wavio   # native C decoder (native/wavio.c)
+    _HAS_NATIVE = True
+except ImportError:  # pragma: no cover - build with native/setup.py
+    _wavio = None
+    _HAS_NATIVE = False
+
+
 def read_wav(path) -> Tuple[np.ndarray, int]:
-    """Returns (mono float32 waveform in [-1, 1], sample_rate)."""
+    """Returns (mono float32 waveform in [-1, 1], sample_rate).
+
+    Uses the native C decoder when built (GIL released during byte
+    crunching); `read_wav_python` is the fallback and the parity oracle.
+    """
     data = Path(path).read_bytes()
+    if _HAS_NATIVE:
+        pcm, sample_rate, n = _wavio.decode(data)
+        return np.frombuffer(pcm, np.float32, count=n), sample_rate
+    return read_wav_python(data, path)
+
+
+def read_wav_python(data: bytes, path="<bytes>") -> Tuple[np.ndarray, int]:
+    """Pure-python RIFF/WAVE parser (fallback + test oracle)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE file: {path} "
                          "(FLAC/MP3/Opus need external decoders not present "

@@ -1,0 +1,156 @@
+"""CTC decoding strategies + Hypothesis — rebuild of the snapshot-stripped
+`ctc_decoding.py` / `rnnt_utils.Hypothesis` contract (N10 in SURVEY.md §2.2;
+call sites: WER.update -> decoding.ctc_decoder_predictions_tensor,
+wer.py:292-354, and predict_step, asr_train.py:780-788).
+
+- greedy: vectorized collapse/dedup on device (ops/ctc.ctc_greedy_decode).
+- beam: host-side CTC prefix beam search (Hannun et al. 2014): beams over
+  collapsed prefixes carrying (p_blank, p_non_blank), optional word-insertion
+  bonus and an optional external LM scoring hook — covering the contract of
+  NeMo's `beam` / pyctcdecode strategies without the external deps.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpu_asr.ops.ctc import ctc_greedy_decode
+
+NEG_INF = -float("inf")
+
+
+@dataclass
+class Hypothesis:
+    """Decoding hypothesis (NeMo rnnt_utils.Hypothesis contract subset)."""
+
+    score: float
+    y_sequence: List[int]
+    text: Optional[str] = None
+    timestamp: List[int] = field(default_factory=list)
+    alignments: Optional[np.ndarray] = None
+
+
+def _logsumexp(*xs: float) -> float:
+    m = max(xs)
+    if m == NEG_INF:
+        return NEG_INF
+    return m + math.log(sum(math.exp(x - m) for x in xs))
+
+
+def ctc_prefix_beam_search(
+    log_probs: np.ndarray,          # (T, V) log-softmax; blank = V-1
+    seq_len: Optional[int] = None,
+    beam_width: int = 16,
+    blank: Optional[int] = None,
+    lm_score_fn: Optional[Callable[[Tuple[int, ...], int], float]] = None,
+    lm_weight: float = 0.0,
+    word_bonus: float = 0.0,
+) -> List[Hypothesis]:
+    """Single-utterance prefix beam search. Returns hypotheses sorted by
+    total log-probability (best first)."""
+    t_max, v = log_probs.shape
+    if blank is None:
+        blank = v - 1
+    if seq_len is not None:
+        t_max = min(t_max, int(seq_len))
+
+    # prefix -> (log p ending in blank, log p ending in non-blank)
+    beams = {(): (0.0, NEG_INF)}
+    for t in range(t_max):
+        lp = log_probs[t]
+        # prune vocabulary to the top candidates for speed
+        topk = np.argpartition(lp, -min(beam_width * 2, v))[-min(beam_width * 2, v):]
+        next_beams: dict = {}
+
+        def add(prefix, pb, pnb):
+            old_pb, old_pnb = next_beams.get(prefix, (NEG_INF, NEG_INF))
+            next_beams[prefix] = (_logsumexp(old_pb, pb),
+                                  _logsumexp(old_pnb, pnb))
+
+        for prefix, (p_b, p_nb) in beams.items():
+            p_tot = _logsumexp(p_b, p_nb)
+            for c in topk:
+                c = int(c)
+                p_c = float(lp[c])
+                if c == blank:
+                    add(prefix, p_tot + p_c, NEG_INF)
+                    continue
+                last = prefix[-1] if prefix else None
+                if c == last:
+                    # repeat: extends the non-blank path of the same prefix,
+                    # or starts a new symbol after a blank
+                    add(prefix, NEG_INF, p_nb + p_c)
+                    new_prefix = prefix + (c,)
+                    ext = p_b + p_c
+                    if lm_score_fn is not None:
+                        ext += lm_weight * lm_score_fn(prefix, c)
+                    add(new_prefix, NEG_INF, ext + word_bonus)
+                else:
+                    new_prefix = prefix + (c,)
+                    ext = p_tot + p_c
+                    if lm_score_fn is not None:
+                        ext += lm_weight * lm_score_fn(prefix, c)
+                    add(new_prefix, NEG_INF, ext + word_bonus)
+
+        ranked = sorted(next_beams.items(),
+                        key=lambda kv: _logsumexp(*kv[1]), reverse=True)
+        beams = dict(ranked[:beam_width])
+
+    hyps = [Hypothesis(score=_logsumexp(*pbs), y_sequence=list(prefix))
+            for prefix, pbs in beams.items()]
+    hyps.sort(key=lambda h: h.score, reverse=True)
+    return hyps
+
+
+class CTCDecoding:
+    """Strategy dispatcher matching NeMo CTCBPEDecoding's exercised surface.
+
+    strategy: 'greedy' (device, vectorized) or 'beam' (host prefix search).
+    """
+
+    def __init__(self, tokenizer, strategy: str = "greedy",
+                 beam_width: int = 16, lm_score_fn=None, lm_weight: float = 0.0,
+                 word_bonus: float = 0.0):
+        if strategy not in ("greedy", "greedy_batch", "beam"):
+            raise ValueError(f"unknown decoding strategy: {strategy}")
+        self.tokenizer = tokenizer
+        self.strategy = strategy
+        self.beam_width = beam_width
+        self.lm_score_fn = lm_score_fn
+        self.lm_weight = lm_weight
+        self.word_bonus = word_bonus
+
+    def decode_tokens_to_str(self, tokens: Sequence[int]) -> str:
+        return self.tokenizer.ids_to_text(list(tokens))
+
+    def ctc_decoder_predictions_tensor(
+        self,
+        decoder_outputs,            # (B, T, V) log-probs (device or host)
+        decoder_lengths,            # (B,)
+        return_hypotheses: bool = False,
+    ):
+        if self.strategy in ("greedy", "greedy_batch"):
+            tokens, n_tokens = ctc_greedy_decode(decoder_outputs,
+                                                 decoder_lengths)
+            tokens = np.asarray(tokens)
+            n_tokens = np.asarray(n_tokens)
+            hyps = [Hypothesis(score=0.0,
+                               y_sequence=tokens[i, :n_tokens[i]].tolist())
+                    for i in range(tokens.shape[0])]
+        else:
+            lp = np.asarray(decoder_outputs, np.float32)
+            lens = np.asarray(decoder_lengths)
+            hyps = [ctc_prefix_beam_search(
+                lp[i], int(lens[i]), self.beam_width,
+                lm_score_fn=self.lm_score_fn, lm_weight=self.lm_weight,
+                word_bonus=self.word_bonus)[0]
+                for i in range(lp.shape[0])]
+        for h in hyps:
+            h.text = self.decode_tokens_to_str(h.y_sequence)
+        if return_hypotheses:
+            return hyps
+        return [h.text for h in hyps]
