@@ -1,0 +1,69 @@
+"""Transcriber + chunked long-form inference tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_asr.config import (DecoderConfig, EncoderConfig, ModelConfig,
+                            PreprocessorConfig)
+from tpu_asr.data.audio import write_wav
+from tpu_asr.data.tokenizer import train_bpe
+from tpu_asr.models.ctc_model import CTCModel
+from tpu_asr.models.transcribe import ChunkedTranscriber, Transcriber
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(
+        preprocessor=PreprocessorConfig(features=24),
+        spec_augment=None,
+        encoder=EncoderConfig(feat_in=24, n_layers=2, d_model=32, n_heads=4,
+                              conv_kernel_size=7, conv_norm_type="layer_norm",
+                              dropout=0.0, dropout_pre_encoder=0.0,
+                              dropout_att=0.0),
+        decoder=DecoderConfig(feat_in=32, num_classes=16),
+        compute_dtype="float32",
+    )
+    model = CTCModel(cfg)
+    sig = jnp.zeros((1, 8000), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sig,
+                           jnp.asarray([8000], jnp.int32))
+    tok = train_bpe(["a b c d e f g h"], vocab_size=16)
+    return model, variables, tok
+
+
+def test_transcriber_batching_and_order(setup, tmp_path):
+    model, variables, tok = setup
+    rng = np.random.default_rng(0)
+    waves = [rng.normal(size=n).astype(np.float32) * 0.05
+             for n in (8000, 24000, 12000, 16000, 9000)]
+    p = tmp_path / "w.wav"
+    write_wav(p, waves[0], 16000)
+    inputs = [str(p)] + waves[1:]
+
+    tr = Transcriber(model, variables, tok, batch_size=2)
+    texts = tr.transcribe(inputs)
+    assert len(texts) == 5
+    assert all(isinstance(t, str) for t in texts)
+
+    # per-item result must match a single-item call (ordering preserved)
+    single = tr.transcribe([waves[2]])[0]
+    assert texts[2] == single
+
+
+def test_chunked_matches_full_on_medium_audio(setup):
+    """For audio that fits one chunk the chunked path must equal the full
+    forward; for longer audio it must produce a finite transcription."""
+    model, variables, tok = setup
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=3 * 16000).astype(np.float32) * 0.05
+
+    tr = Transcriber(model, variables, tok)
+    chunked = ChunkedTranscriber(model, variables, tok, chunk_seconds=4.0,
+                                 overlap_seconds=0.5)
+    assert chunked.transcribe(x) == tr.transcribe([x])[0]
+
+    long_x = rng.normal(size=11 * 16000).astype(np.float32) * 0.05
+    out = chunked.transcribe(long_x)
+    assert isinstance(out, str)

@@ -1,0 +1,134 @@
+"""High-level transcription APIs.
+
+- `Transcriber`: the EncDecCTCModel.transcribe() equivalent (N2 in SURVEY.md
+  §2.2, ctc_models.py:120-193): file paths / arrays in, text out, with
+  duration-bucketed batching so the jitted forward compiles once per bucket.
+- `ChunkedTranscriber`: long-form audio path — the TPU-native stand-in for
+  NeMo's cache-aware streaming (conformer_encoder.py:523-546): fixed-size
+  windows with overlap, greedy-decoded per chunk and stitched by dropping
+  half the overlap on each side. Static shapes per chunk => one compiled
+  program regardless of audio length (SURVEY.md §5 long-context note).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_asr.config import ModelConfig
+from tpu_asr.data.audio import load_audio
+from tpu_asr.data.tokenizer import SentencePieceBPETokenizer
+from tpu_asr.models.ctc_model import CTCModel
+from tpu_asr.models.conformer import subsampled_length
+from tpu_asr.ops.decoding import CTCDecoding
+
+
+class Transcriber:
+    def __init__(self, model: CTCModel, variables, tokenizer,
+                 decoding: Optional[CTCDecoding] = None,
+                 batch_size: int = 8, bucket_seconds: float = 4.0):
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.decoding = decoding or CTCDecoding(tokenizer, "greedy")
+        self.batch_size = batch_size
+        self.bucket_seconds = bucket_seconds
+        self.sample_rate = model.cfg.sample_rate
+        self._fwd = jax.jit(
+            lambda sig, ln: self.model.apply(self.variables, sig, ln,
+                                             train=False))
+
+    def _load(self, item) -> np.ndarray:
+        if isinstance(item, (str,)) or hasattr(item, "__fspath__"):
+            return load_audio(item, self.sample_rate)
+        return np.asarray(item, np.float32)
+
+    def transcribe(self, audio: Sequence, return_hypotheses: bool = False):
+        """audio: list of file paths and/or float32 waveforms -> texts."""
+        signals = [self._load(a) for a in audio]
+        order = np.argsort([len(s) for s in signals])
+        quantum = int(self.bucket_seconds * self.sample_rate)
+        results: List = [None] * len(signals)
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            batch = [signals[i] for i in idxs]
+            max_len = max(len(s) for s in batch)
+            pad = max(quantum, int(math.ceil(max_len / quantum) * quantum))
+            sig = np.zeros((len(batch), pad), np.float32)
+            ln = np.zeros((len(batch),), np.int32)
+            for j, s in enumerate(batch):
+                sig[j, : len(s)] = s
+                ln[j] = len(s)
+            out = self._fwd(jnp.asarray(sig), jnp.asarray(ln))
+            decoded = self.decoding.ctc_decoder_predictions_tensor(
+                out.log_probs, out.encoded_len,
+                return_hypotheses=return_hypotheses)
+            for j, i in enumerate(idxs):
+                results[i] = decoded[j]
+        return results
+
+
+class ChunkedTranscriber:
+    """Fixed-window chunked inference for arbitrarily long audio."""
+
+    def __init__(self, model: CTCModel, variables, tokenizer,
+                 chunk_seconds: float = 16.0, overlap_seconds: float = 2.0):
+        assert overlap_seconds * 2 < chunk_seconds
+        self.model = model
+        self.variables = variables
+        self.decoding = CTCDecoding(tokenizer, "greedy")
+        self.sample_rate = model.cfg.sample_rate
+        self.chunk = int(chunk_seconds * self.sample_rate)
+        self.overlap = int(overlap_seconds * self.sample_rate)
+        self.hop = self.chunk - 2 * self.overlap
+        self._fwd = jax.jit(
+            lambda sig, ln: self.model.apply(self.variables, sig, ln,
+                                             train=False))
+
+    def _frames_for_samples(self, n: int) -> int:
+        mel_frames = n // self.model.cfg.preprocessor.hop_length + 1
+        return int(subsampled_length(jnp.asarray(mel_frames),
+                                     self.model.cfg.encoder.subsampling_factor))
+
+    def transcribe(self, audio: Union[str, np.ndarray]) -> str:
+        x = (load_audio(audio, self.sample_rate)
+             if isinstance(audio, str) or hasattr(audio, "__fspath__")
+             else np.asarray(audio, np.float32))
+        if len(x) <= self.chunk:
+            out = self._fwd(jnp.asarray(x[None]),
+                            jnp.asarray([len(x)], jnp.int32))
+            return self.decoding.ctc_decoder_predictions_tensor(
+                out.log_probs, out.encoded_len)[0]
+
+        all_tokens: List[int] = []
+        pos = 0
+        first = True
+        while pos < len(x):
+            lo = max(0, pos - self.overlap)
+            seg = x[lo: lo + self.chunk]
+            seg_len = len(seg)
+            if seg_len < self.chunk:
+                seg = np.pad(seg, (0, self.chunk - seg_len))
+            out = self._fwd(jnp.asarray(seg[None]),
+                            jnp.asarray([seg_len], jnp.int32))
+            lp = np.asarray(out.log_probs)[0]
+            n_frames = int(np.asarray(out.encoded_len)[0])
+
+            # keep only the frames whose window center lies in [pos, pos+hop)
+            left_drop = 0 if first else self._frames_for_samples(pos - lo)
+            is_last = lo + seg_len >= len(x)
+            right_keep = n_frames if is_last else self._frames_for_samples(
+                pos - lo + self.hop)
+            keep = lp[left_drop:right_keep]
+            if keep.shape[0] > 0:
+                hyp = self.decoding.ctc_decoder_predictions_tensor(
+                    keep[None], np.asarray([keep.shape[0]]),
+                    return_hypotheses=True)[0]
+                all_tokens.extend(hyp.y_sequence)
+            pos += self.hop
+            first = False
+        return self.decoding.decode_tokens_to_str(all_tokens)
