@@ -92,6 +92,8 @@ class EncoderConfig:
     stochastic_depth_drop_prob: float = 0.0
     stochastic_depth_mode: str = "linear"
     stochastic_depth_start_layer: int = 1
+    # 'xla' | 'pallas' | 'auto' (pallas for deterministic passes on TPU)
+    attention_backend: str = "auto"
 
     @property
     def conv_channels(self) -> int:

@@ -108,6 +108,9 @@ class RelPositionMultiHeadAttention(nn.Module):
     # (left, right) frames of attention context; -1 = unlimited. NeMo's
     # `att_context_size` / rel_pos_local_attn (conformer_encoder.py:92-156).
     att_context_size: Tuple[int, int] = (-1, -1)
+    # 'xla' | 'pallas' | 'auto': fused VMEM-resident attention kernel for
+    # deterministic (inference) passes on TPU; XLA path for training/CPU.
+    attention_backend: str = "auto"
 
     @nn.compact
     def __call__(
@@ -136,6 +139,22 @@ class RelPositionMultiHeadAttention(nn.Module):
 
         q_u = q + bias_u.astype(q.dtype)[None, None]
         q_v = q + bias_v.astype(q.dtype)[None, None]
+
+        backend = self.attention_backend
+        if backend == "auto":
+            backend = ("pallas" if (deterministic and
+                                    jax.default_backend() == "tpu") else "xla")
+        if backend == "pallas":
+            from tpu_asr.ops.pallas_attention import fused_relpos_attention
+            ctx = fused_relpos_attention(
+                jnp.transpose(q_u, (0, 2, 1, 3)),
+                jnp.transpose(q_v, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)),
+                p, mask, self.att_context_size)
+            out = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, d)
+            out = out.astype(self.dtype)
+            return nn.Dense(d, dtype=self.dtype, name="linear_out")(out)
 
         # Content score (B, H, T, T) and position score (B, H, T, 2T-1):
         # accumulate in fp32 on the MXU but MATERIALIZE in the compute dtype —
@@ -285,7 +304,7 @@ class ConformerLayer(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm_self_att")(x)
         h = RelPositionMultiHeadAttention(
             c.d_model, c.n_heads, c.dropout_att, self.dtype,
-            tuple(c.att_context_size), name="self_attn"
+            tuple(c.att_context_size), c.attention_backend, name="self_attn"
         )(h, pos_emb, mask, deterministic=det)
         x = x + drop(h)
 
