@@ -15,8 +15,10 @@ each bit k roll the whole tile by k and keep the rolled rows where the bit is
 set. log2(T) roll+select passes over a VMEM-resident tile, exact to the bit
 (verified against models/conformer.rel_shift in tests/test_pallas_attention).
 
-Training uses the XLA path (this kernel defines no VJP); the encoder routes
-here only for deterministic forward passes on TPU.
+Differentiation: the kernel carries a `jax.custom_vjp` whose backward is the
+VJP of the numerically-identical XLA attention math — forward runs at kernel
+speed, gradients (e.g. when the frozen teacher sits on a linearized path, or
+if a caller differentiates through an eval forward) are exact.
 """
 
 from __future__ import annotations
@@ -78,6 +80,59 @@ def _attn_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, o_ref, *,
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _xla_attention_math(q_u, q_v, k, v, p, key_bias, att_context_size):
+    """Reference math (fp32) — used for the custom-VJP backward."""
+    b, h, t, dk = q_u.shape
+    f32 = jnp.float32
+    ac = jnp.einsum("bhtd,bhsd->bhts", q_u.astype(f32), k.astype(f32))
+    bd = jnp.einsum("bhtd,phd->bhtp", q_v.astype(f32), p.astype(f32))
+    # rel_shift (same as models/conformer.rel_shift, inlined to avoid cycle)
+    pcols = bd.shape[-1]
+    bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    bd = bd.reshape(b, h, pcols + 1, t)[:, :, 1:, :].reshape(b, h, t, pcols)
+    bd = bd[..., :t]
+    scores = (ac + bd) / math.sqrt(dk) + key_bias[:, None, None, :]
+    left, right = att_context_size
+    if left >= 0 or right >= 0:
+        rel = jnp.arange(t)[None, :] - jnp.arange(t)[:, None]
+        ok = jnp.ones((t, t), bool)
+        if left >= 0:
+            ok = ok & (rel >= -left)
+        if right >= 0:
+            ok = ok & (rel <= right)
+        scores = jnp.where(ok[None, None], scores, -1e30)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", attn, v.astype(f32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_attention_core(q_u, q_v, k, v, p, key_bias, att_context_size,
+                          interpret):
+    return _pallas_attention(q_u, q_v, k, v, p, key_bias, att_context_size,
+                             interpret)
+
+
+def _core_fwd(q_u, q_v, k, v, p, key_bias, att_context_size, interpret):
+    out = _pallas_attention(q_u, q_v, k, v, p, key_bias, att_context_size,
+                            interpret)
+    return out, (q_u, q_v, k, v, p, key_bias)
+
+
+def _core_bwd(att_context_size, interpret, res, g):
+    q_u, q_v, k, v, p, key_bias = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e: _xla_attention_math(a, b, c, d, e, key_bias,
+                                                  att_context_size),
+        q_u, q_v, k, v, p)
+    dq_u, dq_v, dk_, dv, dp = vjp(g.astype(jnp.float32))
+    return (dq_u.astype(q_u.dtype), dq_v.astype(q_v.dtype),
+            dk_.astype(k.dtype), dv.astype(v.dtype), dp.astype(p.dtype),
+            jnp.zeros_like(key_bias))
+
+
+_fused_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
 def fused_relpos_attention(
     q_u: jnp.ndarray,            # (B, H, T, dk)  q + pos_bias_u
     q_v: jnp.ndarray,            # (B, H, T, dk)  q + pos_bias_v
@@ -91,6 +146,13 @@ def fused_relpos_attention(
     """Returns (B, H, T, dk) context, fp32. Pads T to a lane multiple and dk
     to 128 internally; padded keys are masked, padded query rows are garbage
     (callers re-mask padded positions, as the conformer layer does)."""
+    key_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    return _fused_attention_core(q_u, q_v, k, v, p, key_bias,
+                                 tuple(att_context_size), interpret)
+
+
+def _pallas_attention(q_u, q_v, k, v, p, key_bias, att_context_size,
+                      interpret):
     b, h, t, dk = q_u.shape
     tp = _round_up(t, LANE)
     dkp = _round_up(dk, LANE)
@@ -105,8 +167,7 @@ def fused_relpos_attention(
         p_p, jnp.pad(p, ((0, 0), (0, 0), (0, dkp - dk))), (tp - t, 0, 0))
     p_p = jnp.transpose(p_p, (1, 0, 2))            # (H, 2tp, dkp)
 
-    neg = jnp.float32(-1e30)
-    bias = jnp.where(jnp.pad(mask, ((0, 0), (0, tp - t))), 0.0, neg)
+    bias = jnp.pad(key_bias, ((0, 0), (0, tp - t)), constant_values=-1e30)
     bias = bias[:, None, :]                        # (B, 1, tp): tile-legal block
 
     kernel = functools.partial(_attn_kernel, t=tp, dk_real=dk,
