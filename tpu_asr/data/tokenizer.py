@@ -192,6 +192,43 @@ class SentencePieceBPETokenizer:
         return [self.pieces[i] for i in ids if 0 <= i < len(self.pieces)]
 
 
+class CharTokenizer:
+    """Character-level tokenizer (NeMo's char-vocabulary CTC models — the
+    `labels`-based EncDecCTCModel variant, SURVEY.md N2/N13)."""
+
+    def __init__(self, vocab: Sequence[str]):
+        self.pieces = list(vocab)
+        self.piece_to_id = {c: i for i, c in enumerate(self.pieces)}
+
+    @classmethod
+    def from_corpus(cls, corpus: Iterable[str]) -> "CharTokenizer":
+        chars = sorted({ch for line in corpus for ch in line})
+        return cls(chars)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.pieces)
+
+    @property
+    def vocab(self) -> List[str]:
+        return list(self.pieces)
+
+    def text_to_ids(self, text: str) -> List[int]:
+        return [self.piece_to_id[c] for c in text if c in self.piece_to_id]
+
+    def ids_to_text(self, ids: Iterable[int]) -> str:
+        return "".join(self.pieces[i] for i in ids
+                       if 0 <= i < len(self.pieces))
+
+    def save(self, path) -> None:
+        Path(path).write_text(json.dumps({"char_vocab": self.pieces},
+                                         ensure_ascii=False))
+
+    @classmethod
+    def from_file(cls, path) -> "CharTokenizer":
+        return cls(json.loads(Path(path).read_text())["char_vocab"])
+
+
 def train_bpe(corpus: Iterable[str], vocab_size: int,
               character_coverage: float = 1.0) -> SentencePieceBPETokenizer:
     """Tiny BPE trainer with SentencePiece conventions: `<unk>` id 0 (UNKNOWN),

@@ -67,7 +67,7 @@ class Trainer:
 
     def __init__(self, model: DistilCTCModel, cfg: TrainConfig,
                  tokenizer: SentencePieceBPETokenizer, workdir,
-                 log_every: int = 50):
+                 log_every: int = 50, train_wer_every: int = 0):
         self.model = model
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -76,6 +76,9 @@ class Trainer:
         self.mesh = make_mesh(dp_size=cfg.dp_size, tp_size=cfg.tp_size)
         self.logger = MetricsLogger(self.workdir)
         self.log_every = log_every
+        # periodic train-batch WER (reference ctc_models.py:549-604 logs WER
+        # on the train batch every N steps); 0 disables
+        self.train_wer_every = train_wer_every
         self._train_step = jax.jit(make_distil_train_step(model))
         self._eval_step = jax.jit(make_distil_eval_step(model))
         self.state: Optional[DistilTrainState] = None
@@ -144,7 +147,7 @@ class Trainer:
                 make_dataloader(dataset, cfg.train_ds, epoch=epoch),
                 self.mesh)
             for batch in loader:
-                batch.pop("texts", None)
+                texts = batch.pop("texts", None)
                 self.state, metrics = self._train_step(self.state, batch,
                                                        base_rng)
                 step = int(self.state.step)
@@ -153,6 +156,9 @@ class Trainer:
                     metrics["epoch"] = epoch
                     metrics["steps_per_sec"] = step / max(
                         time.perf_counter() - t0, 1e-9)
+                    if (self.train_wer_every and texts
+                            and step % self.train_wer_every == 0):
+                        metrics["train_wer"] = self._batch_wer(batch, texts)
                     self.logger.log(metrics, step)
                 if max_steps is not None and step >= max_steps:
                     done = True
@@ -163,6 +169,17 @@ class Trainer:
                 self.logger.log({f"val/{k}": v for k, v in val.items()},
                                 int(self.state.step))
         return self.state
+
+    def _batch_wer(self, batch, texts) -> float:
+        """Greedy WER on the current train batch (periodic train-WER)."""
+        _, (tokens, n_tokens) = self._eval_step(self.state, batch)
+        tokens = np.asarray(tokens)
+        n_tokens = np.asarray(n_tokens)
+        wer = WERMetric()
+        hyps = [self.tokenizer.ids_to_text(tokens[i, :n_tokens[i]].tolist())
+                for i in range(tokens.shape[0])]
+        wer.update(hyps, texts)
+        return wer.compute()
 
     # ------------------------------------------------------------------
     def evaluate(self, manifest: str, split_name: str = "val") -> Dict[str, float]:
