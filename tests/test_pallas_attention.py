@@ -47,11 +47,12 @@ def test_fused_attention_matches_xla(t, dk):
 
     got = fused_relpos_attention(q_u, q_v, k, v, p, mask, interpret=True)
     want = _xla_reference(q_u, q_v, k, v, p, mask)
-    # compare only valid query rows (padded rows are defined as garbage)
+    # kernel uses bf16 MXU operands with fp32 accumulation (same as the XLA
+    # encoder path); tolerance reflects bf16 operand rounding
     for i, ln in enumerate(lengths):
         np.testing.assert_allclose(np.asarray(got)[i, :, :ln],
                                    np.asarray(want)[i, :, :ln],
-                                   rtol=2e-4, atol=2e-4)
+                                   rtol=5e-3, atol=2e-3)
 
 
 def test_fused_attention_local_context():
@@ -65,7 +66,7 @@ def test_fused_attention_local_context():
                                  att_context_size=(3, 3), interpret=True)
     want = _xla_reference(q_u, q_v, k, v, p, mask, ctx=(3, 3))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=5e-3, atol=2e-3)
 
 
 def test_encoder_pallas_backend_matches_xla_interpret(monkeypatch):
@@ -97,4 +98,4 @@ def test_encoder_pallas_backend_matches_xla_interpret(monkeypatch):
     out_p, len_p, _ = enc_p.apply(variables, feats, lengths)
     np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_p))
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
-                               rtol=5e-4, atol=5e-4)
+                               rtol=1e-2, atol=5e-3)

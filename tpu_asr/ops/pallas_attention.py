@@ -41,28 +41,33 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, o_ref, *,
-                 t: int, dk_real: int, left: int, right: int):
-    qu = qu_ref[0, 0].astype(jnp.float32)          # (T, dkp)
-    qv = qv_ref[0, 0].astype(jnp.float32)
-    kk = k_ref[0, 0].astype(jnp.float32)
-    vv = v_ref[0, 0].astype(jnp.float32)
-    pp = p_ref[0].astype(jnp.float32)              # (2T, dkp)
+                 t: int, dk_real: int, left: int, right: int, hpp: int):
+    """One program handles `hpp` heads (batched matmuls) — a per-(b,h) grid
+    is program-overhead bound at ASR sizes (measured on v5e)."""
+    # bf16 MXU operands with fp32 accumulation (matches the XLA path's
+    # precision: einsum(..., preferred_element_type=f32) over bf16 inputs)
+    qu = qu_ref[0].astype(jnp.bfloat16)            # (hpp, T, dkp)
+    qv = qv_ref[0].astype(jnp.bfloat16)
+    kk = k_ref[0].astype(jnp.bfloat16)
+    vv = v_ref[0].astype(jnp.bfloat16)
+    pp = p_ref[:].astype(jnp.bfloat16)             # (hpp, 2T, dkp)
 
-    dn = (((1,), (1,)), ((), ()))                  # contract dk
-    ac = jax.lax.dot_general(qu, kk, dn, preferred_element_type=jnp.float32)
-    qp2 = jax.lax.dot_general(qv, pp, dn, preferred_element_type=jnp.float32)
-    # butterfly rel-shift: y[t, s] = qp2[t, s + T-1-t]
-    amt = t - 1 - jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    bdn = (((2,), (2,)), ((0,), (0,)))             # contract dk, batch heads
+    ac = jax.lax.dot_general(qu, kk, bdn, preferred_element_type=jnp.float32)
+    qp2 = jax.lax.dot_general(qv, pp, bdn, preferred_element_type=jnp.float32)
+    # butterfly rel-shift: y[h, t, s] = qp2[h, t, s + T-1-t] — fp32
+    # (Mosaic's rotate supports only 32-bit element types)
+    amt = t - 1 - jax.lax.broadcasted_iota(jnp.int32, (1, t, 1), 1)
     y = qp2
     kbit = 1
     while kbit < t:
-        rolled = pltpu.roll(y, shift=2 * t - kbit, axis=1)   # left-roll kbit
+        rolled = pltpu.roll(y, shift=2 * t - kbit, axis=2)   # left-roll kbit
         y = jnp.where((amt & kbit) != 0, rolled, y)
         kbit *= 2
-    bd = y[:, :t]
+    bd = y[:, :, :t]
 
     scores = (ac + bd) * (1.0 / math.sqrt(dk_real))
-    scores = scores + bias_ref[0]    # (1, tp) broadcasts over rows
+    scores = scores + bias_ref[0]    # (1, 1, tp) broadcasts over heads/rows
     if left >= 0 or right >= 0:
         rel = (jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
                - jax.lax.broadcasted_iota(jnp.int32, (t, t), 0))   # s - t
@@ -71,13 +76,15 @@ def _attn_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, o_ref, *,
             ok &= rel >= -left
         if right >= 0:
             ok &= rel <= right
-        scores = jnp.where(ok, scores, -1e30)
+        scores = jnp.where(ok[None], scores, -1e30)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.dot(attn, vv, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+    adn = (((2,), (1,)), ((0,), (0,)))             # attn (h,t,s) @ v (h,s,d)
+    out = jax.lax.dot_general(attn, vv, adn,
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _xla_attention_math(q_u, q_v, k, v, p, key_bias, att_context_size):
@@ -168,29 +175,33 @@ def _pallas_attention(q_u, q_v, k, v, p, key_bias, att_context_size,
     p_p = jnp.transpose(p_p, (1, 0, 2))            # (H, 2tp, dkp)
 
     bias = jnp.pad(key_bias, ((0, 0), (0, tp - t)), constant_values=-1e30)
-    bias = bias[:, None, :]                        # (B, 1, tp): tile-legal block
+    bias = bias[:, None, None, :]                  # (B, 1, 1, tp)
+
+    # heads per program: fewer, fatter programs amortize per-program overhead;
+    # bounded by VMEM (qp2 + its roll double-buffer dominate at ~2*hpp*T*2T*4B)
+    hpp = h
+    while hpp > 1 and hpp * (2 * tp * dkp * 2 + 3 * tp * 2 * tp) * 4 > 10 * 2 ** 20:
+        hpp //= 2
+    while h % hpp:
+        hpp -= 1
+    n_hgroups = h // hpp
 
     kernel = functools.partial(_attn_kernel, t=tp, dk_real=dk,
                                left=att_context_size[0],
-                               right=att_context_size[1])
+                               right=att_context_size[1], hpp=hpp)
+    qkv_spec = pl.BlockSpec((1, hpp, tp, dkp), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b, n_hgroups),
         in_specs=[
-            pl.BlockSpec((1, 1, tp, dkp), lambda i, j: (i, j, 0, 0),
+            qkv_spec, qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((hpp, 2 * tp, dkp), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tp, dkp), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tp, dkp), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tp, dkp), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * tp, dkp), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tp), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, 1, tp), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tp, dkp), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, hpp, tp, dkp), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, tp, dkp), jnp.float32),
         cost_estimate=pl.CostEstimate(
