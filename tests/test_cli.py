@@ -114,7 +114,59 @@ def test_asr_train_diffm_cli(env, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["asr_train_diffm.py"] + _train_args(
         root, train_man, val_man, nemo,
         ["--model_version", "ver5", "--latent_dim", "12",
-         "--flow_steps", "2"]))
+         "--flow_steps", "2", "--output_dir", str(root / "out_diffm")]))
     asr_train_diffm.main()
     out = capsys.readouterr().out
     assert "wer=" in out
+
+
+def test_asr_train_GS_cli(env, monkeypatch, capsys):
+    root, train_man, val_man, nemo = env
+    import asr_train_GS
+    monkeypatch.setattr(sys, "argv", ["asr_train_GS.py"] + _train_args(
+        root, train_man, val_man, nemo,
+        ["--use_layerwise_distillation", "true",
+         "--data_script_path", "./gigaspeech.py",
+         "--output_dir", str(root / "out_gs")]))
+    asr_train_GS.main()
+    out = capsys.readouterr().out
+    assert "wer=" in out
+
+
+def test_asr_inference_cv_cli_multisplit(env, monkeypatch, capsys):
+    """CV entry point + multi-split manifest form (name=path,...)."""
+    root, train_man, val_man, nemo = env
+    ckpt = root / "out" / "run" / "checkpoints" / "last"
+    assert ckpt.exists()
+    import asr_inference_CV
+    monkeypatch.setattr(sys, "argv", [
+        "asr_inference_CV.py", "--ckpt_path", str(ckpt),
+        "--test_manifest", f"dev_clean={val_man},test_clean={train_man}",
+        "--teacher_nemo", nemo, "--output_dir", str(root / "out"),
+        "--batch_size", "3", "--use_logit_distillation", "true"])
+    asr_inference_CV.main()
+    out = capsys.readouterr().out
+    assert "commonvoice/dev_clean" in out
+    assert "commonvoice/test_clean" in out
+
+
+def test_asr_train_diffm_GS_and_inference_diffm(env, monkeypatch, capsys):
+    root, train_man, val_man, nemo = env
+    import asr_train_diffm_GS
+    monkeypatch.setattr(sys, "argv", ["asr_train_diffm_GS.py"] + _train_args(
+        root, train_man, val_man, nemo,
+        ["--model_version", "2", "--latent_dim", "12", "--flow_steps", "2",
+         "--data_script_path", "./tedlium_asr.py",
+         "--output_dir", str(root / "out_dgs")]))
+    asr_train_diffm_GS.main()
+    assert "wer=" in capsys.readouterr().out
+
+    ckpt = root / "out_dgs" / "run" / "checkpoints" / "last"
+    import asr_inference_diffm
+    monkeypatch.setattr(sys, "argv", [
+        "asr_inference_diffm.py", "--ckpt_path", str(ckpt),
+        "--test_manifest", str(val_man), "--teacher_nemo", nemo,
+        "--output_dir", str(root / "out"), "--batch_size", "3",
+        "--model_ver", "ver2", "--latent_dim", "12", "--flow_steps", "2"])
+    asr_inference_diffm.main()
+    assert "wer=" in capsys.readouterr().out

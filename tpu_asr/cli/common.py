@@ -244,7 +244,20 @@ def prepare_manifests(args, corpus: str) -> Dict[str, str]:
     explicit = {"train": args.train_manifest, "val": args.val_manifest,
                 "test": args.test_manifest}
     if any(explicit.values()):
-        return {k: v for k, v in explicit.items() if v}
+        out = {}
+        for k, v in explicit.items():
+            if not v:
+                continue
+            if "=" in v:
+                # multi-split form: "dev_clean=path,test_other=path" — the
+                # reference evaluates 4 LibriSpeech splits per run
+                # (asr_inference.py:429-452)
+                for part in v.split(","):
+                    name, path = part.split("=", 1)
+                    out[name] = path
+            else:
+                out[k] = v
+        return out
 
     from datasets import load_dataset
 
