@@ -101,3 +101,32 @@ def test_encoder_local_attention_end_to_end():
     out, out_len, lf = enc.apply(variables, feats, lengths)
     assert np.all(np.isfinite(np.asarray(out)))
     assert lf.shape[0] == cfg.n_layers
+
+
+def test_remat_same_values_and_grads():
+    """remat=True must be value- and gradient-identical (it only changes the
+    backward-pass memory/recompute schedule)."""
+    import jax
+
+    cfg_a = _enc_cfg()
+    cfg_b = _enc_cfg(remat=True)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 24, 40)), jnp.float32)
+    lengths = jnp.asarray([40, 40], jnp.int32)
+    enc_a = ConformerEncoder(cfg_a)
+    enc_b = ConformerEncoder(cfg_b)
+    variables = enc_a.init(jax.random.PRNGKey(0), feats, lengths)
+
+    def loss(enc):
+        def f(params):
+            out, _, _ = enc.apply({"params": params}, feats, lengths)
+            return jnp.sum(jnp.square(out))
+        return f
+
+    va, ga = jax.value_and_grad(loss(enc_a))(variables["params"])
+    vb, gb = jax.value_and_grad(loss(enc_b))(variables["params"])
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        # recompute reassociates float ops; tolerance covers that only
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

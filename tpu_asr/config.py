@@ -94,6 +94,10 @@ class EncoderConfig:
     stochastic_depth_start_layer: int = 1
     # 'xla' | 'pallas' | 'auto' (pallas for deterministic passes on TPU)
     attention_backend: str = "auto"
+    # rematerialize each conformer layer in the backward pass
+    # (jax.checkpoint): trades ~30% more FLOPs for O(1) activation memory per
+    # layer — enables bigger batches / longer audio on a fixed HBM budget
+    remat: bool = False
 
     @property
     def conv_channels(self) -> int:

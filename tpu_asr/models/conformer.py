@@ -377,6 +377,9 @@ class ConformerEncoder(nn.Module):
                     (1.0 - drop_p).astype(y.dtype), 1e-6)
             return y, y
 
+        if c.remat:
+            body = nn.remat(body, prevent_cse=False)
+
         scanned = nn.scan(
             body,
             variable_axes={"params": 0, "batch_stats": 0},
