@@ -76,7 +76,8 @@ def ctc_forward_logprob(
         active = (t < input_lengths)[:, None]
         return jnp.where(active, new_alpha, alpha), None
 
-    alpha_final, _ = jax.lax.scan(step, alpha0, t_idx)
+    # unroll amortizes per-iteration scan overhead on the sequential T loop
+    alpha_final, _ = jax.lax.scan(step, alpha0, t_idx, unroll=8)
 
     # final: logsumexp(alpha[2S], alpha[2S-1]) at S = target_length
     idx_last = (2 * target_lengths).astype(jnp.int32)           # (B,)
