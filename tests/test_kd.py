@@ -387,3 +387,35 @@ def test_distil_model_eval_mode_flow():
     out = model.apply(variables, sig, sig_len, train=False)
     assert out.log_probs.ndim == 3
     assert out.losses["total"] == 0.0
+
+
+def test_interctc_aux_losses():
+    """Intermediate CTC: aux losses on selected layers fold into the main
+    CTC term as (1-w)*main + (w/n)*sum(aux)."""
+    from tpu_asr.models.distil_model import DistilCTCModel
+
+    teacher_cfg = _tiny_model_cfg()
+    student_cfg = make_student_config(teacher_cfg)
+    d0 = DistillationConfig()
+    d1 = DistillationConfig(interctc_layers=(0,), interctc_weight=0.5)
+    rng = np.random.default_rng(0)
+    sig, sig_len, tokens, tok_len = _distil_batch(rng)
+    key = jax.random.PRNGKey(0)
+
+    m0 = DistilCTCModel(student_cfg, teacher_cfg, d0)
+    variables = m0.init({"params": key, "specaug": key, "dropout": key},
+                        sig, sig_len, tokens, tok_len, train=True)
+    out0, _ = m0.apply(variables, sig, sig_len, tokens, tok_len, train=True,
+                       rngs={"specaug": key, "dropout": key},
+                       mutable=["batch_stats"])
+    m1 = DistilCTCModel(student_cfg, teacher_cfg, d1)
+    out1, _ = m1.apply(variables, sig, sig_len, tokens, tok_len, train=True,
+                       rngs={"specaug": key, "dropout": key},
+                       mutable=["batch_stats"])
+    aux = float(out1.metrics["interctc/layer0"])
+    main = float(out0.losses["ctc"])
+    np.testing.assert_allclose(float(out1.losses["ctc"]),
+                               0.5 * main + 0.5 * aux, rtol=1e-5)
+    # eval ignores interctc
+    out_e = m1.apply(variables, sig, sig_len, tokens, tok_len, train=False)
+    assert "interctc/layer0" not in out_e.metrics

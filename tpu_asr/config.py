@@ -250,6 +250,11 @@ class DistillationConfig:
     diffkd: Optional[DiffKDConfig] = None
     use_diffm: bool = False
     diffm: Optional[DiffmConfig] = None
+    # intermediate CTC (NeMo interCTC capture, conformer_encoder.py:726-738):
+    # aux CTC losses on the listed student layers (same decoder), combined as
+    # (1 - w) * main + (w / n_layers) * sum(aux)
+    interctc_layers: Tuple[int, ...] = ()
+    interctc_weight: float = 0.3
 
 
 @dataclass

@@ -206,12 +206,25 @@ class DistilCTCModel(nn.Module):
         log_probs = self.student.decode_logits(decoder_in)
         greedy = jnp.argmax(log_probs, axis=-1)
 
-        # ----- CTC -----
+        # ----- CTC (+ optional intermediate CTC on selected layers) -----
         if transcripts is not None:
             if d.use_ctc:
-                losses["ctc"] = ctc_loss(
+                main_ctc = ctc_loss(
                     log_probs, transcripts, encoded_len, transcript_lengths,
                     reduction=self.student_cfg.ctc_reduction)
+                if train and d.interctc_layers:
+                    w = d.interctc_weight
+                    aux_sum = zero
+                    for l in d.interctc_layers:
+                        aux_lp = self.student.decode_logits(stu_feats[l])
+                        aux = ctc_loss(aux_lp, transcripts, encoded_len,
+                                       transcript_lengths,
+                                       reduction=self.student_cfg.ctc_reduction)
+                        metrics[f"interctc/layer{l}"] = aux
+                        aux_sum = aux_sum + aux
+                    main_ctc = (1.0 - w) * main_ctc + \
+                        (w / len(d.interctc_layers)) * aux_sum
+                losses["ctc"] = main_ctc
             else:
                 losses["ctc"] = zero
 
