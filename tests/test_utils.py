@@ -97,3 +97,88 @@ def test_step_timer():
     assert s["steps_measured"] == 5
     assert s["step_time_mean"] >= 0
     assert s["step_time_p95"] >= s["step_time_p50"]
+
+
+def test_change_vocabulary_and_decoding_strategy():
+    import jax
+
+    from tpu_asr.data.tokenizer import train_bpe
+    from tpu_asr.models.ctc_model import CTCModel
+    from tpu_asr.models.vocab import (change_decoding_strategy,
+                                      change_vocabulary)
+
+    cfg = _tiny_cfg()
+    model = CTCModel(cfg)
+    sig = jnp.zeros((1, 8000), jnp.float32)
+    ln = jnp.asarray([8000], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), sig, ln)
+
+    new_tok = train_bpe(["x y z x y"] * 4, vocab_size=24)
+    new_cfg, new_params = change_vocabulary(cfg, variables["params"], new_tok,
+                                            jax.random.PRNGKey(1))
+    assert new_cfg.decoder.num_classes == new_tok.vocab_size
+    # encoder untouched, decoder reshaped
+    old_k = variables["params"]["encoder"]["pre_encode"]["out"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(new_params["encoder"]["pre_encode"]["out"]["kernel"]),
+        np.asarray(old_k))
+    new_model = CTCModel(new_cfg)
+    out = new_model.apply({"params": new_params}, sig, ln)
+    assert out.log_probs.shape[-1] == new_tok.vocab_size + 1
+
+    dec = change_decoding_strategy(new_tok, "beam", beam_width=4)
+    assert dec.strategy == "beam"
+
+
+def test_aggregate_tokenizer():
+    from tpu_asr.data.tokenizer import AggregateTokenizer, train_bpe
+
+    en = train_bpe(["hello world hello"] * 4, vocab_size=24)
+    de = train_bpe(["hallo welt hallo"] * 4, vocab_size=24)
+    agg = AggregateTokenizer({"en": en, "de": de})
+    assert agg.vocab_size == en.vocab_size + de.vocab_size
+    ids_en = agg.text_to_ids("hello", "en")
+    ids_de = agg.text_to_ids("hallo", "de")
+    assert min(ids_de) >= en.vocab_size          # offset applied
+    assert agg.ids_to_text(ids_en) == "hello"
+    assert agg.ids_to_text(ids_de) == "hallo"
+    assert agg.ids_to_text(ids_en + ids_de) == "hello hallo"
+
+
+def test_skip_nan_grad_zeroes_nonfinite():
+    import jax
+    import dataclasses
+
+    from tpu_asr.config import (DistillationConfig, OptimConfig,
+                                make_student_config)
+    from tpu_asr.models.distil_model import DistilCTCModel
+    from tpu_asr.train.optim import build_optimizer
+    from tpu_asr.train.trainer import DistilTrainState, make_distil_train_step
+
+    teacher_cfg = dataclasses.replace(_tiny_cfg(), skip_nan_grad=True)
+    student_cfg = make_student_config(teacher_cfg)
+    model = DistilCTCModel(student_cfg, teacher_cfg, DistillationConfig())
+    rng = np.random.default_rng(0)
+    batch = {
+        "signal": jnp.asarray(rng.normal(size=(2, 8000)).astype(np.float32) * 0.1),
+        "signal_len": jnp.full((2,), 8000, jnp.int32),
+        "tokens": jnp.asarray(rng.integers(0, 12, size=(2, 6)), jnp.int32),
+        "token_len": jnp.full((2,), 6, jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "specaug": key, "dropout": key},
+                           batch["signal"], batch["signal_len"],
+                           batch["tokens"], batch["token_len"], train=True)
+    tx = build_optimizer(OptimConfig(lr=1e-3, sched_name="none", d_model=16),
+                         variables["params"])
+    state = DistilTrainState.create(apply_fn=model.apply,
+                                    params=variables["params"],
+                                    batch_stats=variables.get("batch_stats", {}),
+                                    tx=tx)
+    step = jax.jit(make_distil_train_step(model))
+    state, metrics = step(state, batch, key)
+    assert "nonfinite_grad_elems" in metrics
+    assert int(metrics["nonfinite_grad_elems"]) == 0
+    # params stayed finite after the guarded update
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree.leaves(state.params["student"]))

@@ -89,6 +89,8 @@ def add_kd_args(p: argparse.ArgumentParser):
     p.add_argument("--kd_temperature", type=float, default=1.0)
     p.add_argument("--use_layerwise_distillation", type=str2bool, default=False)
     p.add_argument("--layer_kd_alpha", type=float, default=1.0)
+    p.add_argument("--layer_kd_scope", type=str, default="all",
+                   choices=["all", "last"])
     p.add_argument("--use_flow_matching", type=str2bool, default=False)
     p.add_argument("--flow_steps", type=int, default=8)
     p.add_argument("--dirac_ratio", type=float, default=0.1)   # parsed, unused
@@ -205,6 +207,7 @@ def assemble_distill_config(args, student_cfg, teacher_cfg, diffm_version=None):
         kd_alpha=args.kd_alpha, kd_temperature=args.kd_temperature,
         use_layerwise_distillation=args.use_layerwise_distillation,
         layer_kd_alpha=args.layer_kd_alpha,
+        layer_kd_scope=getattr(args, "layer_kd_scope", "all"),
         use_flow_matching=args.use_flow_matching, flow=flow,
         router=router if (flow is not None and flow.use_dynamic_steps) else None,
         use_diffkd=args.use_diffkd, diffkd=diffkd,

@@ -240,6 +240,10 @@ class DistillationConfig:
     kd_temperature: float = 1.0
     use_layerwise_distillation: bool = False
     layer_kd_alpha: float = 1.0
+    # 'all': per-layer MSE averaged over layers (DistilFlowMatchingCTCModelBPE,
+    # asr_train.py:736-748); 'last': final-encoder-output MSE only
+    # (DistilEncDecCTCModelBPE, asr_train.py:418-454 — the lastfeaturekd runs)
+    layer_kd_scope: str = "all"
     # reference quirk (asr_train_diffm.py:767): the diffm trainer's layerwise
     # path draws a FRESH random, never-trained Linear projection on every call.
     diffm_fresh_layer_proj: bool = False

@@ -192,6 +192,59 @@ class SentencePieceBPETokenizer:
         return [self.pieces[i] for i in ids if 0 <= i < len(self.pieces)]
 
 
+class AggregateTokenizer:
+    """Multiple per-language tokenizers concatenated into one id space with
+    per-language offsets (NeMo's aggregate tokenizer variant, SURVEY.md N13).
+    `text_to_ids(text, lang)` selects the sub-tokenizer; decode routes each id
+    back through its owner."""
+
+    def __init__(self, tokenizers: Dict[str, "SentencePieceBPETokenizer"]):
+        self.langs = list(tokenizers)
+        self.tokenizers = tokenizers
+        self.offsets: Dict[str, int] = {}
+        off = 0
+        for lang in self.langs:
+            self.offsets[lang] = off
+            off += tokenizers[lang].vocab_size
+        self._total = off
+
+    @property
+    def vocab_size(self) -> int:
+        return self._total
+
+    @property
+    def vocab(self) -> List[str]:
+        out: List[str] = []
+        for lang in self.langs:
+            out.extend(f"{lang}:{p}" for p in self.tokenizers[lang].vocab)
+        return out
+
+    def text_to_ids(self, text: str, lang: Optional[str] = None) -> List[int]:
+        lang = lang or self.langs[0]
+        off = self.offsets[lang]
+        return [off + i for i in self.tokenizers[lang].text_to_ids(text)]
+
+    def _owner(self, idx: int):
+        for lang in reversed(self.langs):
+            if idx >= self.offsets[lang]:
+                return lang, idx - self.offsets[lang]
+        return self.langs[0], idx
+
+    def ids_to_text(self, ids: Iterable[int]) -> str:
+        parts: List[str] = []
+        cur_lang, cur_ids = None, []
+        for i in ids:
+            lang, local = self._owner(int(i))
+            if lang != cur_lang and cur_ids:
+                parts.append(self.tokenizers[cur_lang].ids_to_text(cur_ids))
+                cur_ids = []
+            cur_lang = lang
+            cur_ids.append(local)
+        if cur_ids:
+            parts.append(self.tokenizers[cur_lang].ids_to_text(cur_ids))
+        return " ".join(p for p in parts if p)
+
+
 class CharTokenizer:
     """Character-level tokenizer (NeMo's char-vocabulary CTC models — the
     `labels`-based EncDecCTCModel variant, SURVEY.md N2/N13)."""

@@ -238,7 +238,13 @@ class DistilCTCModel(nn.Module):
 
         # ----- layerwise MSE (shared projection, layer-averaged,
         #       asr_train.py:736-748) -----
-        if train and d.use_layerwise_distillation and tch_feats is not None:
+        if train and d.use_layerwise_distillation and tch_feats is not None \
+                and d.layer_kd_scope == "last":
+            # final-layer feature MSE only (DistilEncDecCTCModelBPE path)
+            proj = self.layer_proj(stu_feats[-1])
+            losses["layer_kd"] = d.layer_kd_alpha * layerwise_mse_loss(
+                proj[None], tch_feats[-1:], average_layers=True)
+        elif train and d.use_layerwise_distillation and tch_feats is not None:
             if d.diffm_fresh_layer_proj:
                 # diffm quirk: fresh random (never-trained) per-layer Linear,
                 # torch default init U(-1/sqrt(fan_in), +) (asr_train_diffm.py:767)

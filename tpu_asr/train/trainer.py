@@ -66,6 +66,15 @@ def make_distil_train_step(model: DistilCTCModel):
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        nan_metrics = {}
+        if model.student_cfg.skip_nan_grad:
+            # NeMo skip_nan_grad guard (asr_model.py:151+): zero non-finite
+            # gradient leaves and report how many were hit
+            flat, tree = jax.tree.flatten(grads)
+            bad = sum(jnp.sum(~jnp.isfinite(g)) for g in flat)
+            flat = [jnp.where(jnp.isfinite(g), g, 0.0) for g in flat]
+            grads = jax.tree.unflatten(tree, flat)
+            nan_metrics["nonfinite_grad_elems"] = bad
         updates, new_opt_state = state.tx.update(grads, state.opt_state,
                                                  state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -74,6 +83,7 @@ def make_distil_train_step(model: DistilCTCModel):
                                   opt_state=new_opt_state)
         metrics = {f"loss/{k}": v for k, v in out.losses.items()}
         metrics.update(out.metrics)
+        metrics.update(nan_metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
