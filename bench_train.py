@@ -1,0 +1,91 @@
+"""Training-step benchmark (supplementary to bench.py): KD train-step time on
+the reference workload shape — batch 32 x 15 s audio (conformer_ctc_bpe.yaml
+batch guidance :28-43; scripts/train use batch 32), teacher+student+losses+
+optimizer in ONE jitted XLA program.
+
+Prints one JSON line per configuration:
+  {"config": ..., "ms_per_step": ..., "audio_sec_per_sec": ...}
+
+BASELINE.json names "KD train step time" as the training metric; the
+reference publishes no number (BASELINE.md), so these are this framework's
+own records across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+B, SEC, SR = 32, 15, 16000
+TOKENS = 48
+STEPS = 5
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_asr.config import (DistillationConfig, FlowMatchingConfig,
+                                ModelConfig, OptimConfig, RouterConfig,
+                                make_student_config)
+    from tpu_asr.models.distil_model import DistilCTCModel
+    from tpu_asr.train.optim import build_optimizer
+    from tpu_asr.train.trainer import DistilTrainState, make_distil_train_step
+
+    teacher_cfg = ModelConfig()
+    student_cfg = make_student_config(teacher_cfg)
+    flow = FlowMatchingConfig(meta_encoder_type="mlp", student_dim=88,
+                              teacher_dim=176, student_head_num=2,
+                              training_sampling=8, inference_sampling=8)
+    router = RouterConfig(max_steps=16, stu_dim=88, tch_dim=176,
+                          num_layers=16)
+    configs = {
+        "ctc_student": DistillationConfig(),
+        "logit_kd": DistillationConfig(use_logit_distillation=True,
+                                       kd_alpha=0.1),
+        "flowkd_mlp8": DistillationConfig(use_logit_distillation=True,
+                                          kd_alpha=0.1,
+                                          use_flow_matching=True, flow=flow),
+    }
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "signal": jnp.asarray(
+            rng.normal(size=(B, SEC * SR)).astype(np.float32) * 0.1),
+        "signal_len": jnp.full((B,), SEC * SR, jnp.int32),
+        "tokens": jnp.asarray(rng.integers(0, 128, size=(B, TOKENS)),
+                              jnp.int32),
+        "token_len": jnp.full((B,), TOKENS, jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    for name, distill in configs.items():
+        model = DistilCTCModel(student_cfg, teacher_cfg, distill)
+        variables = model.init(
+            {"params": key, "specaug": key, "dropout": key, "gumbel": key,
+             "noise": key, "layerdrop": key},
+            batch["signal"], batch["signal_len"], batch["tokens"],
+            batch["token_len"], train=True)
+        tx = build_optimizer(OptimConfig(), variables["params"])
+        state = DistilTrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}), tx=tx)
+        step = jax.jit(make_distil_train_step(model))
+        state, metrics = step(state, batch, key)
+        jax.block_until_ready(metrics["loss/total"])
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, metrics = step(state, batch, jax.random.fold_in(key, i))
+            jax.block_until_ready(metrics["loss/total"])
+        dt = (time.perf_counter() - t0) / STEPS
+        print(json.dumps({
+            "config": name,
+            "ms_per_step": round(dt * 1e3, 1),
+            "audio_sec_per_sec": round(B * SEC / dt, 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()
