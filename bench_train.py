@@ -74,11 +74,14 @@ def main() -> None:
             batch_stats=variables.get("batch_stats", {}), tx=tx)
         step = jax.jit(make_distil_train_step(model))
         state, metrics = step(state, batch, key)
-        jax.block_until_ready(metrics["loss/total"])
+        float(metrics["loss/total"])         # host transfer = hard sync
+        # NOTE: under the axon tunnel, block_until_ready can return before
+        # device completion; a host transfer of a value that depends on the
+        # whole chained computation is the reliable fence.
         t0 = time.perf_counter()
         for i in range(STEPS):
             state, metrics = step(state, batch, jax.random.fold_in(key, i))
-            jax.block_until_ready(metrics["loss/total"])
+        float(metrics["loss/total"])
         dt = (time.perf_counter() - t0) / STEPS
         print(json.dumps({
             "config": name,
