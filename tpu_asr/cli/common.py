@@ -233,7 +233,15 @@ def load_teacher(args):
     print("WARNING: no --teacher_nemo given — teacher weights are RANDOMLY "
           "initialized (offline environment; the reference downloads "
           "stt_en_conformer_ctc_small from NGC).", file=sys.stderr)
-    cfg = ModelConfig()
+    cfg_path = getattr(args, "config", None)
+    if cfg_path and os.path.isfile(cfg_path):
+        import yaml
+
+        from tpu_asr.convert.nemo_import import nemo_config_to_model_config
+        with open(cfg_path) as f:
+            cfg = nemo_config_to_model_config(yaml.safe_load(f))
+    else:
+        cfg = ModelConfig()
     if args.tokenizer:
         tokenizer = SentencePieceBPETokenizer.from_file(args.tokenizer)
     return cfg, None, None, tokenizer
