@@ -118,7 +118,7 @@ def build_train_parser(description: str, gigaspeech: bool = False,
     p = argparse.ArgumentParser(description=description)
     add_common_data_args(p)
     add_kd_args(p)
-    p.add_argument("--config", type=str, default="configs/conformer_ctc_bpe.yaml")
+    p.add_argument("--config", type=str, default="configs/conformer_ctc_small.yaml")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--gpus", type=int, default=1,
                    help="accelerator count (data-parallel mesh size; -1 = all)")
