@@ -182,7 +182,10 @@ class Trainer:
         return wer.compute()
 
     # ------------------------------------------------------------------
-    def evaluate(self, manifest: str, split_name: str = "val") -> Dict[str, float]:
+    def evaluate(self, manifest: str, split_name: str = "val",
+                 log_predictions: int = 0) -> Dict[str, float]:
+        """log_predictions > 0 prints that many (reference, hypothesis) pairs
+        — NeMo's WER sample-prediction logging (wer.py:335-338)."""
         cfg = self.cfg
         assert self.state is not None
         dataset = AudioToBPEDataset(
@@ -191,6 +194,7 @@ class Trainer:
         wer = WERMetric()
         losses = []
         n = 0
+        logged = 0
         for batch in prefetch_to_device(
                 make_dataloader(dataset, cfg.test_ds, epoch=0), self.mesh):
             texts = batch.pop("texts")
@@ -202,5 +206,8 @@ class Trainer:
             hyps = [self.tokenizer.ids_to_text(tokens[i, :n_tokens[i]].tolist())
                     for i in range(tokens.shape[0])]
             wer.update(hyps, texts)
+            while logged < log_predictions and logged < len(texts):
+                print(f"  ref: {texts[logged]}\n  hyp: {hyps[logged]}")
+                logged += 1
         return {"wer": wer.compute(), "loss": (sum(losses) / max(n, 1)),
                 "num_utts": float(n)}
