@@ -88,3 +88,33 @@ def test_beam_lm_hook_biases_output():
                                   lm_weight=2.0)
     assert 1 in hyps[0].y_sequence
     assert 0 not in hyps[0].y_sequence
+
+
+def test_greedy_timestamps():
+    from tpu_asr.ops.ctc import ctc_greedy_decode_with_timestamps
+
+    # frames: tok1 at t=0 (repeat at t=1 collapsed), blank, tok0 at t=3
+    v = 3   # blank = 2
+    lp = np.full((1, 5, v), -10.0, np.float32)
+    lp[0, 0, 1] = 0.0
+    lp[0, 1, 1] = 0.0
+    lp[0, 2, 2] = 0.0
+    lp[0, 3, 0] = 0.0
+    lp[0, 4, 2] = 0.0
+    tokens, n, frames = ctc_greedy_decode_with_timestamps(
+        jnp.asarray(lp), jnp.asarray([5]))
+    assert int(n[0]) == 2
+    assert np.asarray(tokens)[0, :2].tolist() == [1, 0]
+    assert np.asarray(frames)[0, :2].tolist() == [0, 3]
+
+    # wired through CTCDecoding
+    tok = train_bpe(["a b"], vocab_size=8)
+    dec = CTCDecoding(tok, "greedy", compute_timestamps=True)
+    v2 = tok.vocab_size + 1
+    lp2 = np.full((1, 4, v2), -10.0, np.float32)
+    lp2[0, :, v2 - 1] = 0.0          # blank everywhere...
+    lp2[0, 1, v2 - 1] = -10.0
+    lp2[0, 1, 1] = 0.0               # ...except token 1 at frame 1
+    hyp = dec.ctc_decoder_predictions_tensor(
+        jnp.asarray(lp2), np.asarray([4]), return_hypotheses=True)[0]
+    assert hyp.timestamp == [1]

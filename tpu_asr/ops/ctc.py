@@ -148,3 +148,34 @@ def ctc_greedy_decode(
         lambda p, i: jnp.full((t,), -1, jnp.int32).at[p].set(i, mode="drop")
     )(scatter_pos, ids)
     return out, n_tokens
+
+
+def ctc_greedy_decode_with_timestamps(
+    log_probs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    blank: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy decode + per-token emission frame indices (the decoding
+    `timestamps` feature — snapshot-stripped ctc_decoding contract, SURVEY.md
+    N10). Returns (tokens (B, T), n_tokens (B,), frames (B, T) int32, -1 pad):
+    frames[b, j] is the first encoder frame of packed token j (multiply by the
+    subsampling factor x hop for audio time)."""
+    b, t, v = log_probs.shape
+    if blank is None:
+        blank = v - 1
+    ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+    prev = jnp.concatenate([jnp.full((b, 1), -1, jnp.int32), ids[:, :-1]], axis=1)
+    t_idx = jnp.arange(t)[None, :]
+    keep = (ids != blank) & (ids != prev) & (t_idx < lengths[:, None])
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    n_tokens = jnp.sum(keep.astype(jnp.int32), axis=1)
+    scatter_pos = jnp.where(keep, pos, t)
+
+    def pack(p, val):
+        return jax.vmap(
+            lambda pp, vv: jnp.full((t,), -1, jnp.int32).at[pp].set(
+                vv, mode="drop"))(p, val)
+
+    tokens = pack(scatter_pos, ids)
+    frames = pack(scatter_pos, jnp.broadcast_to(t_idx, (b, t)).astype(jnp.int32))
+    return tokens, n_tokens, frames

@@ -114,7 +114,7 @@ class CTCDecoding:
 
     def __init__(self, tokenizer, strategy: str = "greedy",
                  beam_width: int = 16, lm_score_fn=None, lm_weight: float = 0.0,
-                 word_bonus: float = 0.0):
+                 word_bonus: float = 0.0, compute_timestamps: bool = False):
         if strategy not in ("greedy", "greedy_batch", "beam"):
             raise ValueError(f"unknown decoding strategy: {strategy}")
         self.tokenizer = tokenizer
@@ -123,6 +123,7 @@ class CTCDecoding:
         self.lm_score_fn = lm_score_fn
         self.lm_weight = lm_weight
         self.word_bonus = word_bonus
+        self.compute_timestamps = compute_timestamps
 
     def decode_tokens_to_str(self, tokens: Sequence[int]) -> str:
         return self.tokenizer.ids_to_text(list(tokens))
@@ -134,12 +135,24 @@ class CTCDecoding:
         return_hypotheses: bool = False,
     ):
         if self.strategy in ("greedy", "greedy_batch"):
-            tokens, n_tokens = ctc_greedy_decode(decoder_outputs,
-                                                 decoder_lengths)
-            tokens = np.asarray(tokens)
-            n_tokens = np.asarray(n_tokens)
-            hyps = [Hypothesis(score=0.0,
-                               y_sequence=tokens[i, :n_tokens[i]].tolist())
+            if self.compute_timestamps:
+                from tpu_asr.ops.ctc import ctc_greedy_decode_with_timestamps
+                tokens, n_tokens, frames = ctc_greedy_decode_with_timestamps(
+                    decoder_outputs, decoder_lengths)
+                tokens = np.asarray(tokens)
+                n_tokens = np.asarray(n_tokens)
+                frames = np.asarray(frames)
+                hyps = [Hypothesis(
+                    score=0.0, y_sequence=tokens[i, :n_tokens[i]].tolist(),
+                    timestamp=frames[i, :n_tokens[i]].tolist())
+                    for i in range(tokens.shape[0])]
+            else:
+                tokens, n_tokens = ctc_greedy_decode(decoder_outputs,
+                                                     decoder_lengths)
+                tokens = np.asarray(tokens)
+                n_tokens = np.asarray(n_tokens)
+                hyps = [Hypothesis(
+                    score=0.0, y_sequence=tokens[i, :n_tokens[i]].tolist())
                     for i in range(tokens.shape[0])]
         else:
             lp = np.asarray(decoder_outputs, np.float32)
