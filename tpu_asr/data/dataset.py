@@ -19,6 +19,7 @@ TPU-first differences from the torch DataLoader path:
 from __future__ import annotations
 
 import math
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -75,6 +76,7 @@ def make_dataloader(dataset: AudioToBPEDataset, cfg: DataConfig,
                     epoch: int = 0, drop_last: bool = False,
                     token_quantum: int = 16,
                     num_shards: int = 1, shard_index: int = 0,
+                    num_workers: int = 4,
                     ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields dict batches with bucket-quantized static shapes.
 
@@ -110,27 +112,42 @@ def make_dataloader(dataset: AudioToBPEDataset, cfg: DataConfig,
         rng = np.random.default_rng(cfg.seed * 7919 + epoch)
         rng.shuffle(batches)
 
-    for b, idxs in batches:
-        samples = [dataset[i] for i in idxs]
-        pad_sig = int(edges[b])
-        max_tok = max((len(s.tokens) for s in samples), default=1)
-        pad_tok = max(token_quantum,
-                      int(math.ceil(max_tok / token_quantum) * token_quantum))
-        bs = len(samples)
-        signal = np.zeros((bs, pad_sig), np.float32)
-        signal_len = np.zeros((bs,), np.int32)
-        tokens = np.zeros((bs, pad_tok), np.int32)
-        token_len = np.zeros((bs,), np.int32)
-        for i, s in enumerate(samples):
-            ln = min(len(s.signal), pad_sig)
-            signal[i, :ln] = s.signal[:ln]
-            signal_len[i] = ln
-            tl = min(len(s.tokens), pad_tok)
-            tokens[i, :tl] = s.tokens[:tl]
-            token_len[i] = tl
-        yield {"signal": signal, "signal_len": signal_len,
-               "tokens": tokens, "token_len": token_len,
-               "texts": [s.text for s in samples]}
+    # threaded sample loading: WAV decode happens in the C extension with the
+    # GIL released (data/audio.py), so worker threads overlap IO + decode
+    # with device compute (replaces torch DataLoader workers / DALI)
+    pool = (ThreadPoolExecutor(max_workers=num_workers)
+            if num_workers > 1 else None)
+    try:
+        for b, idxs in batches:
+            if pool is not None:
+                samples = list(pool.map(dataset.__getitem__, idxs))
+            else:
+                samples = [dataset[i] for i in idxs]
+            yield _collate(samples, int(edges[b]), token_quantum)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
+
+
+def _collate(samples, pad_sig: int, token_quantum: int) -> Dict[str, np.ndarray]:
+    max_tok = max((len(s.tokens) for s in samples), default=1)
+    pad_tok = max(token_quantum,
+                  int(math.ceil(max_tok / token_quantum) * token_quantum))
+    bs = len(samples)
+    signal = np.zeros((bs, pad_sig), np.float32)
+    signal_len = np.zeros((bs,), np.int32)
+    tokens = np.zeros((bs, pad_tok), np.int32)
+    token_len = np.zeros((bs,), np.int32)
+    for i, s in enumerate(samples):
+        ln = min(len(s.signal), pad_sig)
+        signal[i, :ln] = s.signal[:ln]
+        signal_len[i] = ln
+        tl = min(len(s.tokens), pad_tok)
+        tokens[i, :tl] = s.tokens[:tl]
+        token_len[i] = tl
+    return {"signal": signal, "signal_len": signal_len,
+            "tokens": tokens, "token_len": token_len,
+            "texts": [s.text for s in samples]}
 
 
 def prefetch_to_device(iterator, mesh=None, size: int = 2):
