@@ -214,18 +214,23 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
 
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1))
-            var = jnp.mean(jnp.square(xf - mean[None, None]), axis=(0, 1))
-            if not self.is_initializing():
-                n = x.shape[0] * x.shape[1]
-                unbiased = var * n / max(n - 1, 1)
-                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+            # fold into one fused multiply-add in the compute dtype: the
+            # per-channel affine is exact algebra over fp32 SCALARS, so no
+            # fp32 tensor passes are needed at inference
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            w = (scale * inv).astype(self.dtype)
+            b2 = (bias - ra_mean.value * scale * inv).astype(self.dtype)
+            return x.astype(self.dtype) * w[None, None] + b2[None, None]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1))
+        var = jnp.mean(jnp.square(xf - mean[None, None]), axis=(0, 1))
+        if not self.is_initializing():
+            n = x.shape[0] * x.shape[1]
+            unbiased = var * n / max(n - 1, 1)
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
         inv = jax.lax.rsqrt(var + self.epsilon)
-        y = (x.astype(jnp.float32) - mean[None, None]) * inv[None, None]
+        y = (xf - mean[None, None]) * inv[None, None]
         return (y * scale[None, None] + bias[None, None]).astype(self.dtype)
 
 
