@@ -32,6 +32,13 @@ ITERS = 10
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: the remote TPU compile of the 16-layer model
+    # takes minutes cold; cached runs start in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from tpu_asr.config import ModelConfig

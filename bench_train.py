@@ -25,6 +25,11 @@ STEPS = 5
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from tpu_asr.config import (DistillationConfig, FlowMatchingConfig,
