@@ -64,7 +64,7 @@ def main() -> None:
                               jnp.int32),
         "token_len": jnp.full((B,), TOKENS, jnp.int32),
     }
-    key = jax.random.PRNGKey(0)
+    key = jax.random.key(0, impl="rbg")   # training-default PRNG (TrainConfig)
 
     for name, distill in configs.items():
         model = DistilCTCModel(student_cfg, teacher_cfg, distill)

@@ -299,6 +299,10 @@ class TrainConfig:
     test_ds: DataConfig = field(default_factory=lambda: DataConfig(shuffle=False))
     max_epochs: int = 100
     seed: int = 42
+    # PRNG for training randomness (dropout/specaug/gumbel): 'rbg' is ~1.4x
+    # faster per train step on TPU than 'threefry2x32' (hardware RNG; measured
+    # 66.6 -> 47.5 ms/step on v5e) with adequate quality for dropout masks
+    prng_impl: str = "rbg"
     # parallelism
     dp_size: int = -1      # -1: all devices on the data axis
     tp_size: int = 1

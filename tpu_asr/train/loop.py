@@ -137,7 +137,7 @@ class Trainer:
         install_preemption_handler(
             lambda: save_train_state(self.ckpt_dir, self.state))
 
-        base_rng = jax.random.PRNGKey(cfg.seed)
+        base_rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
         t0 = time.perf_counter()
         done = False
         for epoch in range(cfg.max_epochs):
