@@ -127,6 +127,117 @@ def test_tokenizer_unknown_chars_map_to_unk():
     assert ids[-1] == tok.unk_id
 
 
+def _encode_spm_proto_with_specs(pieces, model_type=None, add_dummy_prefix=None):
+    """ModelProto with TrainerSpec.model_type / NormalizerSpec.add_dummy_prefix."""
+    out = _encode_spm_proto(pieces)
+    if model_type is not None:
+        body = bytes([0x18, model_type])                 # TrainerSpec field 3
+        out += bytes([0x12, len(body)]) + body           # ModelProto field 2
+    if add_dummy_prefix is not None:
+        body = bytes([0x18, 1 if add_dummy_prefix else 0])  # Normalizer f3
+        out += bytes([0x1A, len(body)]) + body           # ModelProto field 3
+    return out
+
+
+UNI_PIECES = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+              ("▁", -2.7, 1), ("▁a", -2.0, 1), ("a", -3.1, 1),
+              ("b", -3.3, 1), ("ab", -2.4, 1), ("▁ab", -1.9, 1),
+              ("abb", -3.0, 1), ("c", -3.6, 1), ("bc", -2.9, 1)]
+
+
+def _brute_force_unigram(tok, text):
+    """Oracle by a different algorithm: enumerate every segmentation of the
+    escaped text and take the max total score (unk chars at min_score-10)."""
+    chars = tok._pretokenize(text)
+    n = len(chars)
+
+    def seg(i):
+        if i == n:
+            yield [], 0.0
+            return
+        s = "".join(chars[i:])
+        for j in range(i + 1, n + 1):
+            cand = "".join(chars[i:j])
+            pid = tok.piece_to_id.get(cand)
+            if pid is not None and pid not in tok._control and tok.types[pid] != 6:
+                for rest, sc in seg(j):
+                    yield [cand] + rest, sc + tok.scores[pid]
+        # unk node, one char
+        has_single = (chars[i] in tok.piece_to_id
+                      and tok.piece_to_id[chars[i]] not in tok._control
+                      and tok.types[tok.piece_to_id[chars[i]]] != 6)
+        if not has_single:
+            for rest, sc in seg(i + 1):
+                yield [chars[i]] + rest, sc + tok._unk_score
+
+    return max(seg(0), key=lambda x: x[1])
+
+
+def test_unigram_viterbi_matches_bruteforce_oracle():
+    tok = SentencePieceBPETokenizer(UNI_PIECES, model_type="unigram")
+    for text in ["ab", "abb", "abc", "a ab", "ab abb bc", "b", "cab",
+                 "abba", "a b c ab bc abb"]:
+        got = tok.encode_pieces(text)
+        want, want_score = _brute_force_unigram(tok, text)
+        got_score = sum(tok.scores[tok.piece_to_id[p]] if p in tok.piece_to_id
+                        and tok.piece_to_id[p] not in tok._control
+                        else tok._unk_score for p in got)
+        assert abs(got_score - want_score) < 1e-9, (text, got, want)
+        assert tok.ids_to_text(tok.text_to_ids(text)) == text
+
+
+def test_unigram_vs_bpe_differ_on_same_pieces():
+    # unigram optimizes the global sum; greedy BPE merges locally — the piece
+    # set is crafted so they disagree, proving the dispatch is real.
+    uni = SentencePieceBPETokenizer(UNI_PIECES, model_type="unigram")
+    bpe = SentencePieceBPETokenizer(UNI_PIECES, model_type="bpe")
+    # unigram: ▁a(-2.0)+bc(-2.9) = -4.9 beats ▁ab(-1.9)+c(-3.6) = -5.5;
+    # greedy BPE merges ▁ab first (highest-score pair) and is stuck with c.
+    assert uni.encode_pieces("abc") == ["▁a", "bc"]
+    assert bpe.encode_pieces("abc") == ["▁ab", "c"]
+
+
+def test_model_type_read_from_proto_trainer_spec():
+    data_uni = _encode_spm_proto_with_specs(UNI_PIECES, model_type=1)
+    data_bpe = _encode_spm_proto_with_specs(UNI_PIECES, model_type=2)
+    data_none = _encode_spm_proto_with_specs(UNI_PIECES)   # proto default
+    import tempfile, os
+    toks = {}
+    for name, data in [("uni", data_uni), ("bpe", data_bpe), ("none", data_none)]:
+        fd, p = tempfile.mkstemp(suffix=".model")
+        os.write(fd, data)
+        os.close(fd)
+        toks[name] = SentencePieceBPETokenizer.from_file(p)
+        os.unlink(p)
+    assert toks["uni"].model_type == "unigram"
+    assert toks["bpe"].model_type == "bpe"
+    assert toks["none"].model_type == "unigram"   # UNIGRAM is the proto default
+
+
+def test_unigram_byte_fallback():
+    pieces = UNI_PIECES + [(f"<0x{b:02X}>", -20.0, 6) for b in range(256)]
+    tok = SentencePieceBPETokenizer(pieces, model_type="unigram")
+    ids = tok.text_to_ids("aé")     # é not in vocab -> 2 UTF-8 byte pieces
+    assert all(0 <= i < len(pieces) for i in ids)
+    assert tok.unk_id not in ids
+    assert tok.ids_to_text(ids) == "aé"
+
+
+def test_duplicate_piece_first_id_wins():
+    pieces = [("<unk>", 0.0, 2), ("a", -1.0, 1), ("a", -5.0, 1), ("▁", -1.0, 1)]
+    tok = SentencePieceBPETokenizer(pieces)
+    assert tok.piece_to_id["a"] == 1
+
+
+def test_unigram_save_load_roundtrip(tmp_path):
+    tok = SentencePieceBPETokenizer(UNI_PIECES, model_type="unigram")
+    p = tmp_path / "uni.json"
+    tok.save(p)
+    tok2 = SentencePieceBPETokenizer.from_file(p)
+    assert tok2.model_type == "unigram"
+    assert tok2.text_to_ids("ab abb") == tok.text_to_ids("ab abb")
+
+
 def test_train_bpe_roundtrip(tmp_path):
     corpus = ["the cat sat on the mat", "the dog sat on the log",
               "cats and dogs and cats"] * 10

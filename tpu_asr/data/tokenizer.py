@@ -1,19 +1,27 @@
-"""SentencePiece-compatible BPE tokenizer — self-contained rebuild of the
+"""SentencePiece-compatible tokenizer — self-contained rebuild of the
 tokenizer slice the reference exercises (N13 in SURVEY.md §2.2: NeMo's
-SentencePieceTokenizer wrapping the SentencePiece C++ lib; the teacher ships a
-128-piece BPE model inside its .nemo archive).
+SentencePieceTokenizer wrapping the SentencePiece C++ lib, which handles both
+BPE and unigram `tokenizer.model` files — ctc_bpe_models.py:51-63; the teacher
+ships a 128-piece BPE model inside its .nemo archive).
 
 The `sentencepiece` library is not available in this image, so this module
 implements the pieces needed for parity:
 
-- a minimal protobuf wire-format reader for SentencePiece `ModelProto` files
-  (field 1 = repeated SentencePiece{piece=1:string, score=2:float,
-  type=3:enum}), enough to load the teacher's shipped `tokenizer.model`;
+- a minimal protobuf wire-format reader for SentencePiece `ModelProto` files:
+  field 1 = repeated SentencePiece{piece=1:string, score=2:float,
+  type=3:enum}, field 2 = TrainerSpec{model_type=3:enum, UNIGRAM=1/BPE=2},
+  field 3 = NormalizerSpec{add_dummy_prefix=3:bool} — enough to load a real
+  `tokenizer.model` and pick the right encode algorithm;
 - SentencePiece-BPE encoding: text -> `▁`-marked symbols (whitespace escape +
   dummy prefix) -> greedy highest-score adjacent-pair merging — the same
   algorithm the C++ BPE model applies, so ids match the reference tokenizer
   for any model whose pieces/scores we load;
-- decoding (ids -> pieces -> text, `▁` -> space);
+- SentencePiece-unigram encoding: Viterbi over the piece lattice maximizing
+  the sum of piece log-probs, with single-char <unk> fallback at score
+  min_score − 10 (sentencepiece's kUnkPenalty) and optional byte fallback
+  via `<0xXX>` BYTE pieces — matching the C++ unigram model's
+  `Lattice::Viterbi` segmentation;
+- decoding (ids -> pieces -> text, `▁` -> space, byte pieces re-assembled);
 - a small BPE trainer (score = -merge_rank, SentencePiece convention) so
   tokenizers can be built from a corpus without external tools.
 
@@ -78,9 +86,19 @@ def _iter_fields(buf: bytes):
         yield field, wire, val
 
 
-def parse_sentencepiece_model(data: bytes) -> List[Tuple[str, float, int]]:
-    """ModelProto bytes -> [(piece, score, type), ...] in id order."""
+# TrainerSpec.model_type enum (sentencepiece_model.proto)
+_MODEL_TYPE_NAMES = {1: "unigram", 2: "bpe", 3: "word", 4: "char"}
+
+
+def parse_model_proto(data: bytes):
+    """ModelProto bytes -> ([(piece, score, type), ...] in id order, meta).
+
+    meta: {"model_type": "unigram"|"bpe"|"word"|"char",
+           "add_dummy_prefix": bool}. The proto defaults apply when the spec
+    submessages are absent: model_type=UNIGRAM, add_dummy_prefix=True.
+    """
     pieces: List[Tuple[str, float, int]] = []
+    meta = {"model_type": "unigram", "add_dummy_prefix": True}
     for field, wire, val in _iter_fields(data):
         if field == 1 and wire == 2:       # repeated SentencePiece
             piece, score, ptype = "", 0.0, _TYPE_NORMAL
@@ -92,9 +110,22 @@ def parse_sentencepiece_model(data: bytes) -> List[Tuple[str, float, int]]:
                 elif f2 == 3 and w2 == 0:
                     ptype = v2
             pieces.append((piece, score, ptype))
+        elif field == 2 and wire == 2:     # TrainerSpec
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 3 and w2 == 0:    # model_type
+                    meta["model_type"] = _MODEL_TYPE_NAMES.get(v2, "unigram")
+        elif field == 3 and wire == 2:     # NormalizerSpec
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 3 and w2 == 0:    # add_dummy_prefix
+                    meta["add_dummy_prefix"] = bool(v2)
     if not pieces:
         raise ValueError("no pieces found — not a SentencePiece model?")
-    return pieces
+    return pieces, meta
+
+
+def parse_sentencepiece_model(data: bytes) -> List[Tuple[str, float, int]]:
+    """ModelProto bytes -> [(piece, score, type), ...] in id order."""
+    return parse_model_proto(data)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -102,24 +133,48 @@ def parse_sentencepiece_model(data: bytes) -> List[Tuple[str, float, int]]:
 # ---------------------------------------------------------------------------
 
 class SentencePieceBPETokenizer:
-    """BPE tokenizer with SentencePiece encode/decode semantics.
+    """Tokenizer with SentencePiece encode/decode semantics (BPE or unigram).
 
     vocab ids are piece indices; `unk_id` is the UNKNOWN-type piece (0 in
     standard models). CTC blank is NOT part of the vocab (NeMo appends it as
     the last decoder class, conv_asr.py:407-507).
+
+    `model_type` selects the encode algorithm the C++ lib would use for the
+    loaded model: "bpe" = greedy highest-score adjacent merges, "unigram" =
+    Viterbi max-log-prob segmentation. `from_file` reads it from the proto's
+    TrainerSpec; direct construction defaults to "bpe" (our own trainer).
     """
 
     def __init__(self, pieces: Sequence[Tuple[str, float, int]],
-                 add_dummy_prefix: bool = True):
+                 add_dummy_prefix: bool = True, model_type: str = "bpe"):
+        if model_type not in ("bpe", "unigram", "char", "word"):
+            raise ValueError(f"unsupported model_type {model_type!r}")
         self.pieces = [p for p, _, _ in pieces]
         self.scores = [s for _, s, _ in pieces]
         self.types = [t for _, _, t in pieces]
-        self.piece_to_id: Dict[str, int] = {p: i for i, p in enumerate(self.pieces)}
+        self.model_type = model_type
+        # first occurrence wins on duplicate piece strings (sentencepiece
+        # keeps the lowest id)
+        self.piece_to_id: Dict[str, int] = {}
+        for i, p in enumerate(self.pieces):
+            self.piece_to_id.setdefault(p, i)
         self.add_dummy_prefix = add_dummy_prefix
         unk = [i for i, t in enumerate(self.types) if t == _TYPE_UNKNOWN]
         self.unk_id = unk[0] if unk else 0
         self._control = {i for i, t in enumerate(self.types)
                          if t in (_TYPE_CONTROL, _TYPE_UNUSED)}
+        self._byte_to_id: Dict[int, int] = {}
+        for i, (p, t) in enumerate(zip(self.pieces, self.types)):
+            if t == _TYPE_BYTE and len(p) == 6 and p[:3] == "<0x" and p[-1] == ">":
+                self._byte_to_id[int(p[3:5], 16)] = i
+        # unigram lattice bounds: longest matchable piece, unk penalty
+        matchable = [len(self.pieces[i]) for i in range(len(self.pieces))
+                     if i not in self._control and self.types[i] != _TYPE_BYTE]
+        self._max_piece_len = max(matchable, default=1)
+        normal_scores = [s for s, t in zip(self.scores, self.types)
+                         if t in (_TYPE_NORMAL, _TYPE_USER_DEFINED)]
+        # sentencepiece unigram_model.cc: unk score = min_score - kUnkPenalty(10)
+        self._unk_score = (min(normal_scores) if normal_scores else 0.0) - 10.0
 
     # -- constructors -------------------------------------------------------
     @classmethod
@@ -129,13 +184,16 @@ class SentencePieceBPETokenizer:
         if data[:1] == b"{":               # our JSON format
             obj = json.loads(data)
             return cls([(p, s, t) for p, s, t in obj["pieces"]],
-                       obj.get("add_dummy_prefix", True))
-        return cls(parse_sentencepiece_model(data))
+                       obj.get("add_dummy_prefix", True),
+                       obj.get("model_type", "bpe"))
+        pieces, meta = parse_model_proto(data)
+        return cls(pieces, meta["add_dummy_prefix"], meta["model_type"])
 
     def save(self, path) -> None:
         obj = {"pieces": [[p, s, t] for p, s, t in
                           zip(self.pieces, self.scores, self.types)],
-               "add_dummy_prefix": self.add_dummy_prefix}
+               "add_dummy_prefix": self.add_dummy_prefix,
+               "model_type": self.model_type}
         Path(path).write_text(json.dumps(obj, ensure_ascii=False))
 
     # -- properties ---------------------------------------------------------
@@ -155,9 +213,73 @@ class SentencePieceBPETokenizer:
         return list(text)
 
     def encode_pieces(self, text: str) -> List[str]:
-        """Greedy highest-score adjacent merge (SentencePiece BPE)."""
+        """Segment `text` with the loaded model's algorithm."""
         if not text:
             return []
+        if self.model_type == "unigram":
+            return self._viterbi_pieces(text)
+        if self.model_type == "char":
+            return self._pretokenize(text)
+        # "word" degenerates to whitespace pieces; BPE merge handles it when
+        # whole words are in-vocab, so both remaining types share one path.
+        return self._bpe_pieces(text)
+
+    def _viterbi_pieces(self, text: str) -> List[str]:
+        """SentencePiece unigram Viterbi: maximize the sum of piece log-probs
+        over all segmentations of the (escaped) text. Positions with no
+        single-char piece get an <unk> node at min_score − 10; if the model
+        ships BYTE pieces, unknown chars byte-decompose instead."""
+        chars = self._pretokenize(text)
+        n = len(chars)
+        text_esc = "".join(chars)
+        # char index -> string offset (pieces are matched on string slices)
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        back: List[Tuple[int, Optional[str]]] = [(0, None)] * (n + 1)
+        best[0] = 0.0
+        offs = [0] * (n + 1)
+        for i, ch in enumerate(chars):
+            offs[i + 1] = offs[i] + len(ch)
+        for i in range(n):
+            if best[i] == NEG:
+                continue
+            matched_single = False
+            for j in range(i + 1, min(i + 1 + self._max_piece_len, n + 1)):
+                cand = text_esc[offs[i]:offs[j]]
+                pid = self.piece_to_id.get(cand)
+                if (pid is not None and pid not in self._control
+                        and self.types[pid] != _TYPE_BYTE):
+                    if j == i + 1:
+                        matched_single = True
+                    sc = best[i] + self.scores[pid]
+                    if sc > best[j]:
+                        best[j] = sc
+                        back[j] = (i, cand)
+            if not matched_single:          # unk / byte-fallback node, len 1
+                sc = best[i] + self._unk_score
+                if sc > best[i + 1]:
+                    best[i + 1] = sc
+                    back[i + 1] = (i, None)
+        out: List[str] = []
+        j = n
+        while j > 0:
+            i, piece = back[j]
+            if piece is None:               # unknown char
+                ch = chars[i]
+                if self._byte_to_id:
+                    out.extend(f"<0x{b:02X}>"
+                               for b in reversed(ch.encode("utf-8")))
+                else:
+                    out.append(ch)
+                j = i
+            else:
+                out.append(piece)
+                j = i
+        out.reverse()
+        return out
+
+    def _bpe_pieces(self, text: str) -> List[str]:
+        """Greedy highest-score adjacent merge (SentencePiece BPE)."""
         symbols = self._pretokenize(text)
         while len(symbols) > 1:
             best_score = None
@@ -183,9 +305,24 @@ class SentencePieceBPETokenizer:
 
     # -- decode -------------------------------------------------------------
     def ids_to_text(self, ids: Iterable[int]) -> str:
-        pieces = [self.pieces[i] for i in ids
-                  if 0 <= i < len(self.pieces) and i not in self._control]
-        text = "".join(pieces).replace(WS, " ")
+        chunks: List[str] = []
+        byte_run: List[int] = []
+
+        def flush_bytes():
+            if byte_run:
+                chunks.append(bytes(byte_run).decode("utf-8", errors="replace"))
+                byte_run.clear()
+
+        for i in ids:
+            if not 0 <= i < len(self.pieces) or i in self._control:
+                continue
+            if self.types[i] == _TYPE_BYTE:
+                byte_run.append(int(self.pieces[i][3:5], 16))
+                continue
+            flush_bytes()
+            chunks.append(self.pieces[i])
+        flush_bytes()
+        text = "".join(chunks).replace(WS, " ")
         return text.lstrip(" ")
 
     def ids_to_pieces(self, ids: Iterable[int]) -> List[str]:
