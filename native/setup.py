@@ -18,5 +18,10 @@ setup(
             sources=["native/wavio.c"],
             extra_compile_args=["-O3"],
         ),
+        Extension(
+            "tpu_asr.data._flacio",
+            sources=["native/flacio.c"],
+            extra_compile_args=["-O3"],
+        ),
     ],
 )

@@ -1,15 +1,23 @@
 """Host-side audio IO — replaces the reference's libsndfile/soundfile decode
 (N11/R5 in SURVEY.md; `soundfile` is not available in this image).
 
-Self-contained RIFF/WAVE reader supporting PCM 8/16/24/32-bit and IEEE-float
-payloads, multi-channel -> mono mean, plus polyphase resampling to the model
-sample rate (scipy), and a PCM16 writer for tmp-wav fallbacks
-(asr_train.py:129-142). FLAC/MP3/Opus decode requires external libs the image
-lacks — those raise a clear error and are gated at the manifest layer.
+Format dispatch by magic bytes, mirroring what libsndfile gave the reference:
+- RIFF/WAVE: self-contained reader (PCM 8/16/24/32-bit + IEEE float), native
+  C fast path (native/wavio.c);
+- FLAC: full bitstream decoder — native C fast path (native/flacio.c), pure
+  Python oracle/fallback (tpu_asr/data/flac.py). LibriSpeech ships .flac
+  (librispeech_asr.py:264-300; soundfile use at asr_train.py:14,141);
+- NIST SPHERE (.sph): PCM16 reader (TED-LIUM corpora, tedlium_asr.py).
+
+All decode to mono float32 (channel mean) + polyphase resampling to the model
+sample rate (scipy). PCM16 writer for tmp-wav fallbacks (asr_train.py:129-142).
+MP3/Opus decode requires codecs the image lacks — those raise a clear error
+and are gated at the manifest layer.
 """
 
 from __future__ import annotations
 
+import re
 import struct
 import wave
 from pathlib import Path
@@ -26,18 +34,62 @@ except ImportError:  # pragma: no cover - build with native/setup.py
     _wavio = None
     _HAS_NATIVE = False
 
+try:
+    from tpu_asr.data import _flacio  # native C decoder (native/flacio.c)
+    _HAS_NATIVE_FLAC = True
+except ImportError:  # pragma: no cover - build with native/setup.py
+    _flacio = None
+    _HAS_NATIVE_FLAC = False
 
-def read_wav(path) -> Tuple[np.ndarray, int]:
-    """Returns (mono float32 waveform in [-1, 1], sample_rate).
 
-    Uses the native C decoder when built (GIL released during byte
-    crunching); `read_wav_python` is the fallback and the parity oracle.
-    """
+def read_audio(path) -> Tuple[np.ndarray, int]:
+    """Returns (mono float32 waveform in [-1, 1], sample_rate) for any
+    supported container, dispatched by magic bytes: RIFF/WAVE, FLAC, NIST
+    SPHERE. Native C fast paths when built; Python fallbacks double as the
+    parity oracles."""
     data = Path(path).read_bytes()
-    if _HAS_NATIVE:
+    magic = data[:8]
+    if magic[:4] == b"fLaC":
+        return read_flac_bytes(data)
+    if magic[:7] == b"NIST_1A":
+        return read_sph_bytes(data)
+    if _HAS_NATIVE and magic[:4] == b"RIFF":
         pcm, sample_rate, n = _wavio.decode(data)
         return np.frombuffer(pcm, np.float32, count=n), sample_rate
     return read_wav_python(data, path)
+
+
+def read_wav(path) -> Tuple[np.ndarray, int]:
+    """Back-compat alias: decode any supported container (despite the name)."""
+    return read_audio(path)
+
+
+def read_flac_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    if _HAS_NATIVE_FLAC:
+        pcm, sample_rate, n = _flacio.decode(data)
+        return np.frombuffer(pcm, np.float32, count=n), sample_rate
+    from tpu_asr.data.flac import decode_flac
+    return decode_flac(data)
+
+
+def read_sph_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    """NIST SPHERE PCM16 -> (mono float32, sample_rate). Promoted from the
+    TED-LIUM builder script (tedlium_asr.py) into the framework audio layer."""
+    if not data.startswith(b"NIST_1A"):
+        raise ValueError("not a NIST SPHERE file")
+    header_size = int(data[8:16].decode().strip())
+    header = data[:header_size].decode("latin-1")
+    fields = dict(re.findall(r"^(\S+) -[is]\d* (\S+)$", header, re.M))
+    fmt = fields.get("sample_coding", "pcm")
+    if fmt != "pcm":
+        raise ValueError(f"unsupported SPHERE sample_coding {fmt!r} "
+                         "(shorten-compressed spheres need conversion)")
+    rate = int(fields.get("sample_rate", 16000))
+    samples = np.frombuffer(data[header_size:], dtype="<i2")
+    n_channels = int(fields.get("channel_count", 1))
+    if n_channels > 1:
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return samples.astype(np.float32) / 32768.0, rate
 
 
 def read_wav_python(data: bytes, path="<bytes>") -> Tuple[np.ndarray, int]:
