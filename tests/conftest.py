@@ -20,6 +20,13 @@ jax.config.update("jax_platforms", "cpu")
 # Parity tests compare fp32 numerics against torch-CPU: keep matmuls at full precision.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: the suite is dominated by ~20 jit-heavy
+# tests (KD train steps, CLI end-to-end runs); warm-cache reruns skip the
+# XLA compile entirely (measured 76s -> 30s on the dryrun test alone).
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

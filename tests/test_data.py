@@ -127,6 +127,32 @@ def test_tokenizer_unknown_chars_map_to_unk():
     assert ids[-1] == tok.unk_id
 
 
+def test_dataloader_pad_batch_to_duplicates_cyclically(tmp_path):
+    from tpu_asr.data.dataset import make_dataloader
+    from tpu_asr.data.tokenizer import train_bpe
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(5):                     # 5 % 4 != 0 on purpose
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, (rng.normal(size=8000) * 0.1).astype(np.float32), 16000)
+        entries.append(ManifestEntry(str(p), 0.5, f"utt number {i}"))
+    man = tmp_path / "m.jsonl"
+    write_manifest(man, entries)
+    tok = train_bpe(["utt number 0 1 2 3 4"] * 3, vocab_size=32)
+    ds = AudioToBPEDataset(str(man), tok, 16000, 0.1, 2.0)
+    batches = list(make_dataloader(
+        ds, DataConfig(batch_size=5, num_buckets=1, max_duration=1.0,
+                       shuffle=False), pad_batch_to=4))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["signal"].shape[0] == 8          # 5 -> next multiple of 4
+    assert len(b["texts"]) == 5               # texts keep only real rows
+    # padding rows are cyclic repeats of the first samples
+    np.testing.assert_array_equal(b["signal"][5], b["signal"][0])
+    np.testing.assert_array_equal(b["tokens"][6], b["tokens"][1])
+    assert b["signal_len"][7] == b["signal_len"][2]
+
+
 def _encode_spm_proto_with_specs(pieces, model_type=None, add_dummy_prefix=None):
     """ModelProto with TrainerSpec.model_type / NormalizerSpec.add_dummy_prefix."""
     out = _encode_spm_proto(pieces)

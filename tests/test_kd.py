@@ -332,11 +332,22 @@ def test_distil_model_losses(mode):
     rngs = {"params": key, "specaug": key, "dropout": key, "gumbel": key,
             "noise": key}
     variables = model.init(rngs, sig, sig_len, tokens, tok_len, train=True)
-    out, _ = model.apply(
-        variables, sig, sig_len, tokens, tok_len, train=True,
-        rngs={"specaug": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2),
-              "gumbel": jax.random.PRNGKey(3), "noise": jax.random.PRNGKey(4)},
-        mutable=["batch_stats"])
+
+    # one trace: loss values + grads together (the forward re-runs inside
+    # grad anyway; tracing it twice doubled this test's compile time)
+    def loss_fn(params):
+        o, _ = model.apply(
+            {**variables, "params": params}, sig, sig_len, tokens, tok_len,
+            train=True,
+            rngs={"specaug": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2),
+                  "gumbel": jax.random.PRNGKey(3),
+                  "noise": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"])
+        return o.losses["total"], o
+
+    (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
     assert jnp.isfinite(out.losses["total"])
     assert float(out.losses["ctc"]) > 0
     expected_key = {"logit": "logit_kd", "layer": "layer_kd",
@@ -348,18 +359,6 @@ def test_distil_model_losses(mode):
         assert "router" in out.losses
 
     # gradient flows into the student but NOT the teacher
-    def loss_fn(params):
-        o, _ = model.apply(
-            {**variables, "params": params}, sig, sig_len, tokens, tok_len,
-            train=True,
-            rngs={"specaug": jax.random.PRNGKey(1),
-                  "dropout": jax.random.PRNGKey(2),
-                  "gumbel": jax.random.PRNGKey(3),
-                  "noise": jax.random.PRNGKey(4)},
-            mutable=["batch_stats"])
-        return o.losses["total"]
-
-    grads = jax.grad(loss_fn)(variables["params"])
     stu_g = sum(float(jnp.sum(jnp.abs(g)))
                 for g in jax.tree.leaves(grads["student"]))
     tch_g = sum(float(jnp.sum(jnp.abs(g)))

@@ -62,6 +62,11 @@ def parse_model_version(s) -> int:
 # ---------------------------------------------------------------------------
 
 def add_common_data_args(p: argparse.ArgumentParser):
+    p.add_argument("--platform", type=str, default="", choices=["", "cpu"],
+                   help="force a JAX platform; 'cpu' + --host_devices N gives "
+                        "an N-device virtual CPU mesh for podless dev/CI")
+    p.add_argument("--host_devices", type=int, default=0,
+                   help="with --platform cpu: number of virtual CPU devices")
     p.add_argument("--data_dir", type=str, default="data")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--batch_size", type=int, default=8)
@@ -326,9 +331,17 @@ def _fallback_tokenizer(manifests, vocab_size=128):
     return train_bpe(texts, vocab_size=vocab_size)
 
 
+def _apply_platform_flags(args) -> None:
+    if getattr(args, "platform", "") == "cpu":
+        from tpu_asr.utils.platform import force_cpu_devices
+        force_cpu_devices(args.host_devices or 1)
+
+
 def run_training(args, corpus: str = "librispeech",
                  diffm_version: Optional[int] = None) -> Dict[str, Dict]:
     import dataclasses
+
+    _apply_platform_flags(args)
 
     from tpu_asr.config import (DataConfig, OptimConfig, TrainConfig,
                                 make_student_config)
@@ -397,6 +410,8 @@ def run_inference(args, diffm_version: Optional[int] = None) -> Dict[str, Dict]:
     """Rebuild the distil model from teacher cfg + flags, load the trained
     checkpoint, evaluate every requested split (asr_inference.py:304-471)."""
     import dataclasses
+
+    _apply_platform_flags(args)
 
     from tpu_asr.config import (DataConfig, OptimConfig, TrainConfig,
                                 make_student_config)

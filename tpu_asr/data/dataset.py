@@ -77,12 +77,18 @@ def make_dataloader(dataset: AudioToBPEDataset, cfg: DataConfig,
                     token_quantum: int = 16,
                     num_shards: int = 1, shard_index: int = 0,
                     num_workers: int = 4,
+                    pad_batch_to: Optional[int] = None,
                     ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields dict batches with bucket-quantized static shapes.
 
     Batches are formed within duration buckets (semi-sorted batching), shuffled
     with a per-epoch seed; `num_shards`/`shard_index` stripe the manifest for
     multi-host input sharding over DCN (SURVEY.md §5).
+
+    `pad_batch_to`: round the batch dim UP to a multiple of this by repeating
+    samples cyclically (torch DistributedSampler semantics) so an uneven final
+    batch still shards over a dp>1 mesh; `texts` keeps only the real samples,
+    so WER/eval bookkeeping skips the padding rows.
     """
     n = len(dataset)
     order = np.arange(n)
@@ -123,22 +129,27 @@ def make_dataloader(dataset: AudioToBPEDataset, cfg: DataConfig,
                 samples = list(pool.map(dataset.__getitem__, idxs))
             else:
                 samples = [dataset[i] for i in idxs]
-            yield _collate(samples, int(edges[b]), token_quantum)
+            yield _collate(samples, int(edges[b]), token_quantum, pad_batch_to)
     finally:
         if pool is not None:
             pool.shutdown(wait=False)
 
 
-def _collate(samples, pad_sig: int, token_quantum: int) -> Dict[str, np.ndarray]:
+def _collate(samples, pad_sig: int, token_quantum: int,
+             pad_batch_to: Optional[int] = None) -> Dict[str, np.ndarray]:
     max_tok = max((len(s.tokens) for s in samples), default=1)
     pad_tok = max(token_quantum,
                   int(math.ceil(max_tok / token_quantum) * token_quantum))
-    bs = len(samples)
+    n_real = len(samples)
+    bs = n_real
+    if pad_batch_to and bs % pad_batch_to:
+        bs += pad_batch_to - bs % pad_batch_to
     signal = np.zeros((bs, pad_sig), np.float32)
     signal_len = np.zeros((bs,), np.int32)
     tokens = np.zeros((bs, pad_tok), np.int32)
     token_len = np.zeros((bs,), np.int32)
-    for i, s in enumerate(samples):
+    for i in range(bs):
+        s = samples[i % n_real]      # cyclic repeat fills the padding rows
         ln = min(len(s.signal), pad_sig)
         signal[i, :ln] = s.signal[:ln]
         signal_len[i] = ln
@@ -152,7 +163,13 @@ def _collate(samples, pad_sig: int, token_quantum: int) -> Dict[str, np.ndarray]
 
 def prefetch_to_device(iterator, mesh=None, size: int = 2):
     """Double-buffered host->device feed. With a mesh, the batch axis is
-    sharded over `data`; otherwise plain device_put."""
+    sharded over `data`; otherwise plain device_put.
+
+    Multi-host: each process feeds its local manifest stripe (see
+    `make_dataloader(num_shards=jax.process_count())`) and the per-process
+    arrays assemble into one global array via
+    `jax.make_array_from_process_local_data` — the host batch here is the
+    PROCESS-local batch, `global = local * process_count`."""
     import collections
 
     import jax
@@ -160,10 +177,14 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2):
     from tpu_asr.parallel.mesh import batch_sharding
 
     sharding = batch_sharding(mesh) if mesh is not None else None
+    multihost = jax.process_count() > 1
 
     def put(batch):
         texts = batch.pop("texts", None)
-        if sharding is not None:
+        if sharding is not None and multihost:
+            out = {k: jax.make_array_from_process_local_data(sharding, v)
+                   for k, v in batch.items()}
+        elif sharding is not None:
             out = {k: jax.device_put(v, sharding) for k, v in batch.items()}
         else:
             out = {k: jax.device_put(v) for k, v in batch.items()}

@@ -49,3 +49,15 @@ def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch with the leading axis sharded over `data`."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def cross_process_sum(values: Sequence[float]) -> np.ndarray:
+    """Sum a small vector of host scalars across all JAX processes — the
+    torchmetrics `dist_reduce_fx='sum'` equivalent for WER (scores, words)
+    accumulation and eval loss sums (wer.py:289-290). No-op in
+    single-controller runs."""
+    vals = np.asarray(values, np.float64)
+    if jax.process_count() == 1:
+        return vals
+    from jax.experimental import multihost_utils  # pragma: no cover
+    return np.asarray(multihost_utils.process_allgather(vals)).sum(axis=0)

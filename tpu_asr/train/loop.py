@@ -26,7 +26,7 @@ from tpu_asr.data.dataset import (AudioToBPEDataset, make_dataloader,
                                   prefetch_to_device)
 from tpu_asr.data.tokenizer import SentencePieceBPETokenizer
 from tpu_asr.models.distil_model import DistilCTCModel
-from tpu_asr.parallel.mesh import make_mesh, replicated
+from tpu_asr.parallel.mesh import cross_process_sum, make_mesh, replicated
 from tpu_asr.train.optim import build_optimizer
 from tpu_asr.train.trainer import (DistilTrainState, make_distil_eval_step,
                                    make_distil_train_step)
@@ -83,6 +83,9 @@ class Trainer:
         self._eval_step = jax.jit(make_distil_eval_step(model))
         self.state: Optional[DistilTrainState] = None
 
+    def _dp_size(self) -> int:
+        return int(self.mesh.shape.get("data", 1))
+
     # ------------------------------------------------------------------
     def init_state(self, sample_batch: Dict[str, np.ndarray],
                    rng_seed: int = 0) -> DistilTrainState:
@@ -125,8 +128,16 @@ class Trainer:
         if len(dataset) == 0:
             raise ValueError(f"empty training dataset: {train_manifest}")
 
+        # multi-host input sharding: each process loads its manifest stripe
+        # (SURVEY.md §5 "distributed sampler" row); dp batch-divisibility is
+        # guaranteed by cyclic-repeat padding of the final batch
+        loader_kw = dict(num_shards=jax.process_count(),
+                         shard_index=jax.process_index(),
+                         pad_batch_to=self._dp_size())
+
         # bootstrap state from the first batch's shapes
-        first = next(iter(make_dataloader(dataset, cfg.train_ds, epoch=0)))
+        first = next(iter(make_dataloader(dataset, cfg.train_ds, epoch=0,
+                                          **loader_kw)))
         if self.state is None:
             self.init_state(first, rng_seed)
         if resume and (self.ckpt_dir / "last").exists():
@@ -144,7 +155,8 @@ class Trainer:
             if done:
                 break
             loader = prefetch_to_device(
-                make_dataloader(dataset, cfg.train_ds, epoch=epoch),
+                make_dataloader(dataset, cfg.train_ds, epoch=epoch,
+                                **loader_kw),
                 self.mesh)
             for batch in loader:
                 texts = batch.pop("texts", None)
@@ -196,18 +208,28 @@ class Trainer:
         n = 0
         logged = 0
         for batch in prefetch_to_device(
-                make_dataloader(dataset, cfg.test_ds, epoch=0), self.mesh):
+                make_dataloader(dataset, cfg.test_ds, epoch=0,
+                                num_shards=jax.process_count(),
+                                shard_index=jax.process_index(),
+                                pad_batch_to=self._dp_size()),
+                self.mesh):
             texts = batch.pop("texts")
             metrics, (tokens, n_tokens) = self._eval_step(self.state, batch)
             losses.append(float(metrics["loss/ctc"]) * len(texts))
             n += len(texts)
             tokens = np.asarray(tokens)
             n_tokens = np.asarray(n_tokens)
+            # decode only the real rows; trailing rows are cyclic-repeat
+            # padding for dp divisibility and would double-count WER
             hyps = [self.tokenizer.ids_to_text(tokens[i, :n_tokens[i]].tolist())
-                    for i in range(tokens.shape[0])]
+                    for i in range(len(texts))]
             wer.update(hyps, texts)
             while logged < log_predictions and logged < len(texts):
                 print(f"  ref: {texts[logged]}\n  hyp: {hyps[logged]}")
                 logged += 1
-        return {"wer": wer.compute(), "loss": (sum(losses) / max(n, 1)),
-                "num_utts": float(n)}
+        # distributed eval: sum (scores, words, loss, n) across processes —
+        # the torchmetrics dist_reduce_fx='sum' semantics (wer.py:289-290)
+        scores, words, loss_sum, n = cross_process_sum(
+            [wer.scores, wer.words, sum(losses), n])
+        return {"wer": (scores / words if words else float("inf")),
+                "loss": loss_sum / max(n, 1), "num_utts": float(n)}
