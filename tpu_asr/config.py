@@ -80,6 +80,18 @@ class EncoderConfig:
     subsampling_conv_channels: int = -1   # -1 -> d_model
     self_attention_model: str = "rel_pos"
     att_context_size: Tuple[int, int] = (-1, -1)
+    # 'regular' (sliding-window limited context) | 'chunked_limited' (aligned
+    # chunks; right context = chunk lookahead) — NeMo conformer_encoder.py
+    # att_context_style (mask construction :800-825)
+    att_context_style: str = "regular"
+    # streaming (cache-aware) options — NeMo conformer_encoder.py:523-546
+    causal_downsampling: bool = False
+    # None -> symmetric (k-1)//2 each side; 'causal' -> (k-1, 0); or (left, right)
+    conv_context_size: Optional[Any] = None
+    # longformer-style global attention (conformer_encoder.py:456-458)
+    global_tokens: int = 0
+    global_tokens_spacing: int = 1
+    global_attn_separate: bool = False
     xscaling: bool = True
     untie_biases: bool = True
     pos_emb_max_len: int = 5000
@@ -102,6 +114,19 @@ class EncoderConfig:
     @property
     def conv_channels(self) -> int:
         return self.d_model if self.subsampling_conv_channels == -1 else self.subsampling_conv_channels
+
+    @property
+    def conv_context(self) -> Tuple[int, int]:
+        """(left, right) time context of the depthwise conv kernel."""
+        k = self.conv_kernel_size
+        if self.conv_context_size is None:
+            return ((k - 1) // 2, (k - 1) // 2)
+        if self.conv_context_size == "causal":
+            return (k - 1, 0)
+        l, r = self.conv_context_size
+        if l + r + 1 != k:
+            raise ValueError(f"conv_context_size {self.conv_context_size} != kernel {k}")
+        return (int(l), int(r))
 
     @property
     def d_ff(self) -> int:

@@ -55,12 +55,18 @@ class ConvSubsampling(nn.Module):
         c = self.cfg
         n_stages = int(math.log2(c.subsampling_factor))
         h = x[..., None].astype(self.dtype)
+        # `causal_downsampling` (NeMo conformer_encoder.py:389 CausalConv2D):
+        # left-only time padding (2, 0) keeps every output frame a function of
+        # past inputs only, with the SAME length contract as the symmetric pad
+        # (floor((L-1)/2)+1) — the streaming pre-encode cache recompute relies
+        # on this translation covariance (see models/streaming.py).
+        t_pad = (2, 0) if c.causal_downsampling else (1, 1)
         for i in range(n_stages):
             h = nn.Conv(
                 features=c.conv_channels,
                 kernel_size=(3, 3),
                 strides=(2, 2),
-                padding=((1, 1), (1, 1)),
+                padding=(t_pad, (1, 1)),
                 dtype=self.dtype,
                 name=f"conv{i}",
             )(h)
@@ -72,29 +78,42 @@ class ConvSubsampling(nn.Module):
         return nn.Dense(c.d_model, dtype=self.dtype, name="out")(h)
 
 
-def rel_positional_encoding(t: int, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Relative sinusoidal PE for positions [t-1 .. -(t-1)], shape (2t-1, d_model).
+def rel_positional_encoding(t: int, d_model: int, dtype=jnp.float32,
+                            cache_len: int = 0) -> jnp.ndarray:
+    """Relative sinusoidal PE for positions [t-1+cache_len .. -(t-1)], shape
+    (cache_len + 2t - 1, d_model).
 
-    Matches NeMo RelPositionalEncoding.create_pe (descending positions)."""
-    positions = np.arange(t - 1, -t, -1, dtype=np.float32)[:, None]
+    Matches NeMo RelPositionalEncoding.create_pe (descending positions); the
+    `cache_len` extension covers the cached left context in cache-aware
+    streaming (NeMo pos_enc(x, cache_len) — conformer_encoder.py:668)."""
+    positions = np.arange(t - 1 + cache_len, -t, -1, dtype=np.float32)[:, None]
     div = np.exp(np.arange(0, d_model, 2, dtype=np.float32) * -(math.log(10000.0) / d_model))
-    pe = np.zeros((2 * t - 1, d_model), dtype=np.float32)
+    pe = np.zeros((cache_len + 2 * t - 1, d_model), dtype=np.float32)
     pe[:, 0::2] = np.sin(positions * div)
     pe[:, 1::2] = np.cos(positions * div)
     return jnp.asarray(pe, dtype=dtype)
 
 
-def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
-    """Transformer-XL relative shift. x: (B, H, T, 2T-1) -> (B, H, T, T).
+def rel_shift(x: jnp.ndarray, t_kv: Optional[int] = None) -> jnp.ndarray:
+    """Transformer-XL relative shift, generalized to rectangular attention.
 
-    Aligns x[b,h,t,j] (j indexing relative positions T-1-j) so that output[b,h,t,s]
-    = x[b,h,t, T-1-t+s].
+    x: (B, H, Tq, P) with P = Tq + Tkv - 1, where x[b,h,t,j] scores query t
+    against relative position (P - 1 - j) - (Tq - 1) = Tkv - 1 - j... indexed so
+    that row j corresponds to relative distance (q_global - k_global) of
+    (Tq - 1 + (Tkv - Tq)) - j. Output: (B, H, Tq, Tkv) with
+    output[b,h,t,s] = x[b,h,t, Tq - 1 - t + s] — i.e. key s at distance
+    (t + C) - s for a cache of C = Tkv - Tq frames prepended to the queries.
+
+    The square case (Tkv == Tq, P == 2T-1) is NeMo's rel_shift.
     """
     b, h, t, p = x.shape
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))        # (B,H,T,2T)
+    if t_kv is None:
+        t_kv = p - t + 1
+    assert p == t + t_kv - 1, (p, t, t_kv)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))        # (B,H,T,P+1)
     x = x.reshape(b, h, p + 1, t)
     x = x[:, :, 1:, :].reshape(b, h, t, p)
-    return x[:, :, :, :t]
+    return x[:, :, :, :t_kv]
 
 
 class RelPositionMultiHeadAttention(nn.Module):
@@ -108,6 +127,8 @@ class RelPositionMultiHeadAttention(nn.Module):
     # (left, right) frames of attention context; -1 = unlimited. NeMo's
     # `att_context_size` / rel_pos_local_attn (conformer_encoder.py:92-156).
     att_context_size: Tuple[int, int] = (-1, -1)
+    # 'regular' | 'chunked_limited' (aligned-chunk mask, conformer_encoder.py:805-824)
+    att_context_style: str = "regular"
     # 'xla' | 'pallas' | 'auto': fused VMEM-resident attention kernel for
     # deterministic (inference) passes on TPU; XLA path for training/CPU.
     attention_backend: str = "auto"
@@ -116,23 +137,34 @@ class RelPositionMultiHeadAttention(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,            # (B, T, D)
-        pos_emb: jnp.ndarray,      # (2T-1, D)
+        pos_emb: jnp.ndarray,      # (C + 2T-1, D), C = cache length (0 offline)
         mask: jnp.ndarray,         # (B, T) bool, True = valid
         deterministic: bool = True,
+        kv_cache: Optional[jnp.ndarray] = None,   # (B, C, D) right-aligned history
+        kv_valid: Optional[jnp.ndarray] = None,   # (B,) valid frames in kv_cache
     ) -> jnp.ndarray:
         d, h = self.d_model, self.n_heads
         dk = d // h
         b, t, _ = x.shape
 
+        # Cache-aware streaming (NeMo conformer_encoder.py:523-546 call chain):
+        # the per-layer `cache_last_channel` holds the last C post-LN attention
+        # INPUTS; keys/values are computed over [cache; x] while queries cover
+        # only the current chunk. Equivalent to NeMo's
+        # `key = value = cat([cache, key])` in MultiHeadAttention.update_cache.
+        kv_in = x if kv_cache is None else jnp.concatenate(
+            [kv_cache.astype(x.dtype), x], axis=1)
+        t_kv = kv_in.shape[1]
+
         q = nn.Dense(d, dtype=self.dtype, name="linear_q")(x)
-        k = nn.Dense(d, dtype=self.dtype, name="linear_k")(x)
-        v = nn.Dense(d, dtype=self.dtype, name="linear_v")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="linear_k")(kv_in)
+        v = nn.Dense(d, dtype=self.dtype, name="linear_v")(kv_in)
         p = nn.Dense(d, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb)
 
         q = q.reshape(b, t, h, dk)
-        k = k.reshape(b, t, h, dk)
-        v = v.reshape(b, t, h, dk)
-        p = p.reshape(-1, h, dk)                               # (2T-1, H, dk)
+        k = k.reshape(b, t_kv, h, dk)
+        v = v.reshape(b, t_kv, h, dk)
+        p = p.reshape(-1, h, dk)                               # (C+2T-1, H, dk)
 
         bias_u = self.param("pos_bias_u", nn.initializers.zeros, (h, dk), jnp.float32)
         bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dk), jnp.float32)
@@ -140,9 +172,30 @@ class RelPositionMultiHeadAttention(nn.Module):
         q_u = q + bias_u.astype(q.dtype)[None, None]
         q_v = q + bias_v.astype(q.dtype)[None, None]
 
+        if kv_cache is not None:
+            c_len = kv_cache.shape[1]
+            # key-side validity: cache is right-aligned (newest frame last)
+            cache_ok = jnp.arange(c_len)[None, :] >= (c_len - kv_valid[:, None])
+            kv_mask = jnp.concatenate([cache_ok, mask], axis=1)     # (B, C+T)
+            neg = jnp.asarray(-30000.0 if self.dtype == jnp.bfloat16 else -1.0e30,
+                              self.dtype)
+            ac = jnp.einsum("bthd,bshd->bhts", q_u, k,
+                            preferred_element_type=jnp.float32).astype(self.dtype)
+            bd = jnp.einsum("bthd,phd->bhtp", q_v, p,
+                            preferred_element_type=jnp.float32).astype(self.dtype)
+            bd = rel_shift(bd, t_kv=t_kv)
+            scores = (ac + bd) / math.sqrt(dk)
+            scores = scores + jnp.where(kv_mask, 0.0, neg)[:, None, None, :]
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            out = out.reshape(b, t, d).astype(self.dtype)
+            return nn.Dense(d, dtype=self.dtype, name="linear_out")(out)
+
         backend = self.attention_backend
         if backend == "auto":
             backend = ("pallas" if (deterministic and
+                                    self.att_context_style == "regular" and
                                     jax.default_backend() == "tpu") else "xla")
         if backend == "pallas":
             from tpu_asr.ops.pallas_attention import fused_relpos_attention
@@ -175,8 +228,17 @@ class RelPositionMultiHeadAttention(nn.Module):
         key_bias = jnp.where(mask, 0.0, neg)[:, None, None, :]
         scores = (ac + bd) / math.sqrt(dk) + key_bias
         left, right = self.att_context_size
-        if left >= 0 or right >= 0:
-            # block-local (limited-context) attention: key s visible from
+        if self.att_context_style == "chunked_limited" and right >= 0:
+            # aligned-chunk mask (conformer_encoder.py:805-824): query chunk i
+            # sees key chunks [i - left_chunks, i]; chunk size = right + 1.
+            chunk = right + 1
+            left_chunks = (left // chunk) if left >= 0 else t  # "unlimited"
+            cidx = jnp.arange(t) // chunk
+            diff = cidx[:, None] - cidx[None, :]               # q_chunk - k_chunk
+            local_ok = (diff >= 0) & (diff <= left_chunks)
+            scores = scores + jnp.where(local_ok, 0.0, neg)[None, None]
+        elif left >= 0 or right >= 0:
+            # sliding-window ('regular') limited context: key s visible from
             # query t iff -left <= s - t <= right
             rel = (jnp.arange(t)[None, :] - jnp.arange(t)[:, None])  # s - t
             local_ok = jnp.ones((t, t), bool)
@@ -243,17 +305,30 @@ class ConformerConvolution(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 time_cache: Optional[jnp.ndarray] = None):
         c = self.cfg
         d = c.d_model
+        pad_l, pad_r = c.conv_context
         h = nn.Dense(2 * d, dtype=self.dtype, name="pointwise_conv1")(x)
         h = nn.glu(h, axis=-1)                                  # (B, T, d)
         h = jnp.where(mask[..., None], h, 0.0)
+        new_cache = None
+        if time_cache is not None:
+            # cache-aware streaming (NeMo CausalConv1D cache, used at
+            # conformer_encoder.py:646-658): the cache holds the last `pad_l`
+            # post-GLU inputs; prepend them instead of zero padding so the
+            # depthwise conv is seamless across chunk boundaries. Requires a
+            # causal kernel (pad_r == 0).
+            assert pad_r == 0, "streaming conv requires conv_context_size='causal'"
+            h = jnp.concatenate([time_cache.astype(h.dtype), h], axis=1)
+            new_cache = h[:, -pad_l:, :]
+            pad_l = 0
         # depthwise conv over time
         h = nn.Conv(
             features=d,
             kernel_size=(c.conv_kernel_size,),
-            padding=((c.conv_kernel_size // 2, c.conv_kernel_size // 2),),
+            padding=((pad_l, pad_r),),
             feature_group_count=d,
             dtype=self.dtype,
             name="depthwise_conv",
@@ -267,6 +342,8 @@ class ConformerConvolution(nn.Module):
             raise ValueError(f"unknown conv_norm_type: {c.conv_norm_type}")
         h = nn.silu(h)
         h = nn.Dense(d, dtype=self.dtype, name="pointwise_conv2")(h)
+        if time_cache is not None:
+            return h, new_cache
         return h
 
 
@@ -297,7 +374,12 @@ class ConformerLayer(nn.Module):
         pos_emb: jnp.ndarray,
         mask: jnp.ndarray,
         train: bool = False,
-    ) -> jnp.ndarray:
+        cache: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        """cache (streaming only): (last_channel (B,C,D), last_channel_len (B,),
+        last_time (B,Kl,D)) — per-layer slices of the encoder's stacked caches
+        (NeMo conformer_encoder.py:692-707). Returns (x, new_lc, new_lt) when
+        given, else x."""
         c = self.cfg
         det = not train
         drop = lambda h: nn.Dropout(c.dropout, deterministic=det)(h)
@@ -306,15 +388,24 @@ class ConformerLayer(nn.Module):
         h = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype, name="feed_forward1")(h, det)
         x = x + 0.5 * drop(h)
 
+        lc, lc_len, lt = cache if cache is not None else (None, None, None)
         h = nn.LayerNorm(dtype=self.dtype, name="norm_self_att")(x)
+        if cache is not None:
+            # the channel cache stores post-LN attention inputs; roll in the
+            # current chunk (cache_drop_size = 0, chunked_limited streaming)
+            new_lc = jnp.concatenate([lc, h.astype(lc.dtype)], axis=1)[:, h.shape[1]:, :]
         h = RelPositionMultiHeadAttention(
             c.d_model, c.n_heads, c.dropout_att, self.dtype,
-            tuple(c.att_context_size), c.attention_backend, name="self_attn"
-        )(h, pos_emb, mask, deterministic=det)
+            tuple(c.att_context_size), c.att_context_style,
+            c.attention_backend, name="self_attn"
+        )(h, pos_emb, mask, deterministic=det, kv_cache=lc, kv_valid=lc_len)
         x = x + drop(h)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
-        h = ConformerConvolution(c, self.dtype, name="conv")(h, mask, train, det)
+        h = ConformerConvolution(c, self.dtype, name="conv")(
+            h, mask, train, det, time_cache=lt)
+        if cache is not None:
+            h, new_lt = h
         x = x + drop(h)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm_feed_forward2")(x)
@@ -322,7 +413,10 @@ class ConformerLayer(nn.Module):
         x = x + 0.5 * drop(h)
 
         x = nn.LayerNorm(dtype=self.dtype, name="norm_out")(x)
-        return jnp.where(mask[..., None], x, 0.0)
+        x = jnp.where(mask[..., None], x, 0.0)
+        if cache is not None:
+            return x, new_lc, new_lt
+        return x
 
 
 class ConformerEncoder(nn.Module):
@@ -342,22 +436,54 @@ class ConformerEncoder(nn.Module):
         features: jnp.ndarray,      # (B, F, T) log-mel, NeMo layout
         lengths: jnp.ndarray,       # (B,) valid frames
         train: bool = False,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        cache: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+        drop_extra_pre_encoded: int = 0,
+    ):
+        """`cache` enables cache-aware streaming (NeMo conformer_encoder.py
+        forward_internal cache path :630-760): a tuple of stacked per-layer
+        caches (last_channel (L,B,C,D), last_channel_len (B,), last_time
+        (L,B,Kl,D)). The chunk in `features` must include the pre-encode left
+        context; `drop_extra_pre_encoded` re-encoded leading frames are dropped
+        after subsampling (conformer_encoder.py:646-648). Returns
+        (encoded, lengths, layer_feats, new_cache) in streaming mode."""
         c = self.cfg
         x = jnp.transpose(features, (0, 2, 1))                 # (B, T, F)
         x = ConvSubsampling(c, self.dtype, name="pre_encode")(x)
         out_len = subsampled_length(lengths, c.subsampling_factor)
+        if cache is not None and drop_extra_pre_encoded > 0:
+            x = x[:, drop_extra_pre_encoded:, :]
+            out_len = jnp.maximum(out_len - drop_extra_pre_encoded, 0)
 
         b, t, d = x.shape
         if c.xscaling:
             x = x * math.sqrt(c.d_model)
-        pos_emb = rel_positional_encoding(t, c.d_model, self.dtype)
+        cache_len = 0 if cache is None else cache[0].shape[2]
+        pos_emb = rel_positional_encoding(t, c.d_model, self.dtype, cache_len=cache_len)
         x = nn.Dropout(c.dropout_pre_encoder, deterministic=not train)(x)
 
         mask = jnp.arange(t)[None, :] < out_len[:, None]       # (B, T)
         x = jnp.where(mask[..., None], x, 0.0)
 
         layer = ConformerLayer(c, self.dtype, name="layers")
+
+        if cache is not None:
+            lc, lc_len, lt = cache
+
+            def cached_body(mod, carry, xs):
+                lc_l, lt_l = xs
+                y, new_lc, new_lt = mod(carry, pos_emb, mask, train=False,
+                                        cache=(lc_l, lc_len, lt_l))
+                return y, (y, new_lc, new_lt)
+
+            scanned = nn.scan(
+                cached_body,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True, "layerdrop": True},
+                length=c.n_layers,
+            )
+            x, (layer_feats, new_lc, new_lt) = scanned(layer, x, (lc, lt))
+            new_len = jnp.minimum(lc_len + out_len, lc.shape[2])
+            return x, out_len, layer_feats, (new_lc, new_len, new_lt)
 
         # stochastic depth (NeMo conformer_encoder.py:699-710): layer l's
         # output is dropped with prob p_l during training, otherwise the

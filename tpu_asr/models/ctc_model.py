@@ -77,3 +77,20 @@ class CTCModel(nn.Module):
 
     def decode_logits(self, encoded):
         return self.decoder(encoded)
+
+    def stream_step(
+        self,
+        processed_signal: jnp.ndarray,        # (B, F, Tc_raw + pre_ctx) mel chunk
+        processed_signal_length: jnp.ndarray, # (B,) incl. the pre-encode context
+        cache: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        drop_extra_pre_encoded: int,
+    ):
+        """One cache-aware streaming step (NeMo conformer_encoder.py streaming
+        forward :630-760 + decoder). The chunk must be prefixed with the raw
+        pre-encode context frames; see models/streaming.py for the driver that
+        maintains that feature cache. Returns (log_probs, enc_len, new_cache)."""
+        encoded, enc_len, _feats, new_cache = self.encoder(
+            processed_signal, processed_signal_length, train=False,
+            cache=cache, drop_extra_pre_encoded=drop_extra_pre_encoded)
+        log_probs = self.decoder(encoded)
+        return log_probs, enc_len, new_cache

@@ -1,0 +1,196 @@
+"""Cache-aware streaming inference — true per-layer time/channel caches.
+
+TPU-native rebuild of NeMo's cache-aware streaming Conformer
+(reference NeMo/nemo/collections/asr/modules/conformer_encoder.py:
+`setup_streaming_params` :930-1010, `get_initial_cache_state` :1012-1045,
+the `forward_internal` cache path :630-760, and
+`CacheAwareStreamingConfig` in models/configs/asr_models_config.py:120).
+
+Design (vs. the reference's in-place module-state caches):
+- The cache is an explicit pytree `(last_channel (L,B,C,D), last_channel_len
+  (B,), last_time (L,B,Kl,D))` threaded functionally through one jitted
+  `stream_step`; per-layer slices ride the encoder's `nn.scan` as scanned
+  inputs/outputs, so the whole multi-chunk session reuses a single compiled
+  program with static chunk shapes.
+- The pre-encode (subsampling) context is a raw mel-frame tail kept host-side:
+  each step feeds [feat_tail; chunk] through the causal subsampling and drops
+  the `drop_extra_pre_encoded` recomputed leading frames
+  (conformer_encoder.py:646-648). With left-only conv padding the recomputed
+  frames are bit-identical to the previous step's, so streaming == offline.
+
+Requires a streaming-ready encoder config: `causal_downsampling=True`,
+`conv_context_size='causal'`, `att_context_style='chunked_limited'` with
+`att_context_size=(left, chunk-1)` — same contract as NeMo's
+`stt_en_conformer_ctc_*_streaming` configs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_asr.config import EncoderConfig, ModelConfig
+from tpu_asr.data.audio import load_audio
+from tpu_asr.models.ctc_model import CTCModel
+from tpu_asr.ops.decoding import CTCDecoding
+from tpu_asr.ops.features import FilterbankFeatures
+
+
+@dataclass
+class CacheAwareStreamingConfig:
+    """Mirrors the reference CacheAwareStreamingConfig fields that the
+    streaming loop consumes (asr_models_config.py:120-135)."""
+
+    chunk_size: int                 # raw mel frames consumed per step
+    shift_size: int                 # == chunk_size (cache_drop_size = 0)
+    valid_out_len: int              # encoded frames emitted per full step
+    last_channel_cache_size: int    # C: attention left-context cache frames
+    last_time_cache_size: int       # Kl: depthwise-conv left context
+    pre_encode_cache_size: int      # raw mel frames of subsampling context
+    drop_extra_pre_encoded: int     # re-encoded leading frames to drop
+    cache_drop_size: int = 0
+
+
+def setup_streaming_params(cfg: EncoderConfig, max_context: int = 10000
+                           ) -> CacheAwareStreamingConfig:
+    """Derive the streaming geometry from the encoder config
+    (conformer_encoder.py:930-1010, chunked_limited branch)."""
+    if not cfg.causal_downsampling:
+        raise ValueError("cache-aware streaming requires causal_downsampling=True")
+    if cfg.conv_context[1] != 0:
+        raise ValueError("cache-aware streaming requires conv_context_size='causal'")
+    if cfg.att_context_style != "chunked_limited":
+        raise ValueError("cache-aware streaming requires att_context_style='chunked_limited'")
+    left, right = cfg.att_context_size
+    if right < 0:
+        raise ValueError("right att context (chunk lookahead) must be >= 0")
+    valid_out = right + 1                       # encoded frames per chunk
+    sf = cfg.subsampling_factor
+    # receptive past of the causal 2-stage (k=3,s=2,left-pad-2) subsampling is
+    # 6 raw frames; round up to a whole subsampling stride so the dropped
+    # re-encoded frames land exactly on previous outputs.
+    pre = 2 * sf
+    return CacheAwareStreamingConfig(
+        chunk_size=valid_out * sf,
+        shift_size=valid_out * sf,
+        valid_out_len=valid_out,
+        last_channel_cache_size=left if left >= 0 else max_context,
+        last_time_cache_size=cfg.conv_context[0],
+        pre_encode_cache_size=pre,
+        drop_extra_pre_encoded=pre // sf,
+    )
+
+
+def get_initial_cache_state(cfg: EncoderConfig, batch_size: int,
+                            dtype=jnp.float32,
+                            stream_cfg: Optional[CacheAwareStreamingConfig] = None):
+    """Zeroed stacked caches (conformer_encoder.py:1012-1045)."""
+    sc = stream_cfg or setup_streaming_params(cfg)
+    lc = jnp.zeros((cfg.n_layers, batch_size, sc.last_channel_cache_size,
+                    cfg.d_model), dtype)
+    lc_len = jnp.zeros((batch_size,), jnp.int32)
+    lt = jnp.zeros((cfg.n_layers, batch_size, sc.last_time_cache_size,
+                    cfg.d_model), dtype)
+    return (lc, lc_len, lt)
+
+
+class CacheAwareStreamer:
+    """Stepwise streaming transcription over a CTCModel.
+
+    `stream(audio)` reproduces offline greedy decoding exactly (same tokens)
+    while touching each chunk once — unlike the overlap-stitch
+    ChunkedTranscriber, no frames are ever recomputed beyond the fixed
+    pre-encode tail.
+    """
+
+    def __init__(self, model: CTCModel, variables, tokenizer=None):
+        self.model = model
+        self.variables = variables
+        self.cfg: ModelConfig = model.cfg
+        self.stream_cfg = setup_streaming_params(self.cfg.encoder)
+        self.featurizer = FilterbankFeatures(self.cfg.preprocessor)
+        self.decoding = CTCDecoding(tokenizer, "greedy") if tokenizer else None
+        sc = self.stream_cfg
+
+        def _step(feats, lens, cache):
+            return self.model.apply(
+                variables, feats, lens, cache, sc.drop_extra_pre_encoded,
+                method=CTCModel.stream_step)
+
+        self._step = jax.jit(_step)
+        self._featurize = jax.jit(
+            lambda sig, ln: self.featurizer(sig, ln, train=False))
+
+    def init_state(self, batch_size: int):
+        """(encoder cache, raw-feature tail) for a fresh session."""
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        cache = get_initial_cache_state(self.cfg.encoder, batch_size, dtype,
+                                        self.stream_cfg)
+        feat_tail = jnp.zeros(
+            (batch_size, self.cfg.preprocessor.features,
+             self.stream_cfg.pre_encode_cache_size), jnp.float32)
+        return cache, feat_tail
+
+    def step(self, state, mel_chunk: jnp.ndarray, chunk_len: jnp.ndarray):
+        """One streaming step.
+
+        mel_chunk: (B, F, chunk_size) — pad the final short chunk with zeros
+        and pass the true frame count in chunk_len.
+        Returns (log_probs (B, valid_out_len, V+1), enc_len (B,), new_state).
+        """
+        cache, feat_tail = state
+        sc = self.stream_cfg
+        feats = jnp.concatenate([feat_tail, mel_chunk], axis=2)
+        lens = chunk_len.astype(jnp.int32) + sc.pre_encode_cache_size
+        log_probs, enc_len, new_cache = self._step(feats, lens, cache)
+        new_tail = feats[:, :, -sc.pre_encode_cache_size:]
+        return log_probs, enc_len, (new_cache, new_tail)
+
+    def stream(self, audio: Union[str, np.ndarray],
+               return_ids: bool = False):
+        """Feed one utterance chunk-by-chunk; greedy-decode the concatenated
+        frame argmaxes (identical to offline greedy decoding)."""
+        x = (load_audio(audio, self.cfg.sample_rate)
+             if isinstance(audio, str) or hasattr(audio, "__fspath__")
+             else np.asarray(audio, np.float32))
+        feats, feat_len = self._featurize(jnp.asarray(x[None]),
+                                          jnp.asarray([len(x)], jnp.int32))
+        return self.stream_features(feats, feat_len, return_ids=return_ids)
+
+    def stream_features(self, feats, feat_len, return_ids: bool = False):
+        """Stream precomputed mel features (B=1) chunk-by-chunk."""
+        sc = self.stream_cfg
+        feats = np.asarray(feats)
+        n = int(np.asarray(feat_len)[0])
+        state = self.init_state(feats.shape[0])
+        ids: List[int] = []
+        pos = 0
+        while pos < n:
+            take = min(sc.chunk_size, n - pos)
+            chunk = np.zeros((feats.shape[0], feats.shape[1], sc.chunk_size),
+                             np.float32)
+            chunk[:, :, :take] = feats[:, :, pos:pos + take]
+            log_probs, enc_len, state = self.step(
+                state, jnp.asarray(chunk), jnp.asarray([take], jnp.int32))
+            k = int(np.asarray(enc_len)[0])
+            ids.extend(np.asarray(jnp.argmax(log_probs[0, :k], axis=-1)).tolist())
+            pos += take
+        if return_ids or self.decoding is None:
+            return ids
+        return self.transcribe_ids(ids)
+
+    def transcribe_ids(self, ids: List[int]) -> str:
+        """Collapse streamed per-frame argmax ids to text (CTC rules)."""
+        assert self.decoding is not None
+        collapsed: List[int] = []
+        blank = self.cfg.decoder.num_classes  # blank = last index
+        prev = -1
+        for t in ids:
+            if t != prev and t != blank:
+                collapsed.append(int(t))
+            prev = t
+        return self.decoding.decode_tokens_to_str(collapsed)

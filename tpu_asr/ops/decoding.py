@@ -114,12 +114,22 @@ class CTCDecoding:
 
     def __init__(self, tokenizer, strategy: str = "greedy",
                  beam_width: int = 16, lm_score_fn=None, lm_weight: float = 0.0,
-                 word_bonus: float = 0.0, compute_timestamps: bool = False):
+                 word_bonus: float = 0.0, compute_timestamps: bool = False,
+                 ngram_lm=None):
+        """ngram_lm: an ops.ngram_lm.NgramLM (or path to an ARPA file) used as
+        the beam-search LM — the KenLM/pyctcdecode strategy equivalent."""
         if strategy not in ("greedy", "greedy_batch", "beam"):
             raise ValueError(f"unknown decoding strategy: {strategy}")
         self.tokenizer = tokenizer
         self.strategy = strategy
         self.beam_width = beam_width
+        if ngram_lm is not None and lm_score_fn is None:
+            from tpu_asr.ops.ngram_lm import NgramLM
+            if isinstance(ngram_lm, str):
+                ngram_lm = NgramLM.load_arpa(ngram_lm)
+            lm_score_fn = ngram_lm.lm_score_fn()
+            if lm_weight == 0.0:
+                lm_weight = 1.0
         self.lm_score_fn = lm_score_fn
         self.lm_weight = lm_weight
         self.word_bonus = word_bonus
