@@ -71,11 +71,19 @@ def main() -> None:
 
     audio_seconds = BATCH * SECONDS * ITERS
     rtfx = audio_seconds / elapsed
+
+    # MFU vs the chip's dense bf16 peak (utils/flops.py) — roofline context
+    # for the RTFx headline. None when the backend hides cost analysis.
+    from tpu_asr.utils.flops import compiled_flops, mfu
+    fl = compiled_flops(infer, signal, signal_len)
+    util = mfu(fl, elapsed / ITERS)
     print(json.dumps({
         "metric": "librispeech-style greedy inference RTFx (conformer-ctc-small)",
         "value": round(rtfx, 2),
         "unit": "x realtime",
         "vs_baseline": round(rtfx / A100_RTFX_ESTIMATE, 3),
+        "mfu": round(util, 4) if util is not None else None,
+        "tflops_per_step": round(fl / 1e12, 3) if fl else None,
     }))
 
 

@@ -88,10 +88,16 @@ def main() -> None:
             state, metrics = step(state, batch, jax.random.fold_in(key, i))
         float(metrics["loss/total"])
         dt = (time.perf_counter() - t0) / STEPS
+
+        from tpu_asr.utils.flops import compiled_flops, mfu
+        fl = compiled_flops(step, state, batch, key)
+        util = mfu(fl, dt)
         print(json.dumps({
             "config": name,
             "ms_per_step": round(dt * 1e3, 1),
             "audio_sec_per_sec": round(B * SEC / dt, 1),
+            "mfu": round(util, 4) if util is not None else None,
+            "tflops_per_step": round(fl / 1e12, 3) if fl else None,
         }))
 
 

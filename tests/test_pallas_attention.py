@@ -69,6 +69,118 @@ def test_fused_attention_local_context():
                                rtol=5e-3, atol=2e-3)
 
 
+def test_fused_attention_backward_matches_xla():
+    """The fused Pallas backward kernel's grads (dq_u, dq_v, dk, dv, dp) match
+    jax.grad through the XLA reference math."""
+    b, h, t, dk = 2, 2, 100, 44          # non-aligned sizes exercise padding
+    rng = np.random.default_rng(2)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+    q_u, q_v, k, v = (mk(b, h, t, dk) for _ in range(4))
+    p = mk(2 * t - 1, h, dk)
+    lengths = np.asarray([t, t - 13])
+    mask = jnp.arange(t)[None, :] < jnp.asarray(lengths)[:, None]
+    w = mk(b, h, t, dk)                  # random cotangent via weighted sum
+    valid = mask[:, None, :, None]
+
+    def loss_pallas(q_u, q_v, k, v, p):
+        out = fused_relpos_attention(q_u, q_v, k, v, p, mask, interpret=True)
+        return jnp.sum(jnp.where(valid, out, 0.0) * w)
+
+    def loss_xla(q_u, q_v, k, v, p):
+        out = _xla_reference(q_u, q_v, k, v, p, mask)
+        return jnp.sum(jnp.where(valid, out, 0.0) * w)
+
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, p)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, p)
+    names = ["dq_u", "dq_v", "dk", "dv", "dp"]
+    for name, g_got, g_want in zip(names, got, want):
+        scale = max(1e-3, float(jnp.max(jnp.abs(g_want))))
+        np.testing.assert_allclose(np.asarray(g_got) / scale,
+                                   np.asarray(g_want) / scale,
+                                   atol=2e-2, err_msg=name)
+
+
+def test_fused_attention_dropout_deterministic_and_scaled():
+    """In-kernel dropout: same seed -> identical output; different seed ->
+    different; kept entries scale by 1/(1-rate)."""
+    b, h, t, dk = 1, 2, 64, 32
+    rng = np.random.default_rng(3)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+    q_u, q_v, k, v = (mk(b, h, t, dk) for _ in range(4))
+    p = mk(2 * t - 1, h, dk)
+    mask = jnp.ones((b, t), bool)
+    seed = jnp.asarray([7], jnp.int32)
+
+    a = fused_relpos_attention(q_u, q_v, k, v, p, mask, dropout_rate=0.3,
+                               dropout_seed=seed, interpret=True)
+    a2 = fused_relpos_attention(q_u, q_v, k, v, p, mask, dropout_rate=0.3,
+                                dropout_seed=seed, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    a3 = fused_relpos_attention(q_u, q_v, k, v, p, mask, dropout_rate=0.3,
+                                dropout_seed=seed + 1, interpret=True)
+    assert not np.allclose(np.asarray(a), np.asarray(a3))
+    # dropped mass is re-scaled: outputs stay the same order of magnitude
+    base = fused_relpos_attention(q_u, q_v, k, v, p, mask, interpret=True)
+    ratio = float(jnp.mean(jnp.abs(a)) / jnp.mean(jnp.abs(base)))
+    assert 0.5 < ratio < 2.0
+
+
+def _host_hash_keep(shape, seed, rate):
+    """The interpret-mode murmur3 keep-mask, recomputed on the host."""
+    idx = np.arange(np.prod(shape), dtype=np.uint32).reshape(shape)
+    x = idx * np.uint32(2654435761) + np.uint32(seed) * np.uint32(0x9E3779B9)
+    x ^= x >> np.uint32(16)
+    x = x * np.uint32(0x85EBCA6B)
+    x ^= x >> np.uint32(13)
+    x = x * np.uint32(0xC2B2AE35)
+    x ^= x >> np.uint32(16)
+    return x >= np.uint32(min(int(rate * 4294967296.0), 4294967295))
+
+
+def test_fused_attention_dropout_grads_consistent():
+    """Backward regenerates the forward's dropout mask: custom-VJP grads match
+    jax.grad through an XLA reference using the SAME (host-recomputed) mask."""
+    b, h, t, dk = 1, 1, 32, 16
+    rate = 0.25
+    rng = np.random.default_rng(4)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+    q_u, q_v, k, v = (mk(b, h, t, dk) for _ in range(4))
+    p = mk(2 * t - 1, h, dk)
+    mask = jnp.ones((b, t), bool)
+    seed = jnp.asarray([11], jnp.int32)
+    w = mk(b, h, t, dk)
+
+    # the kernel pads t to the 128-lane tile; the mask indexes the PADDED grid
+    tp = 128
+    keep = _host_hash_keep((1, tp, tp), 11, rate)[None, :, :t, :t]
+    keep = jnp.asarray(keep)
+
+    def loss_pallas(q_u, q_v, k, v):
+        out = fused_relpos_attention(q_u, q_v, k, v, p, mask,
+                                     dropout_rate=rate, dropout_seed=seed,
+                                     interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q_u, q_v, k, v):
+        ac = jnp.einsum("bhtd,bhsd->bhts", q_u, k)
+        bd = rel_shift(jnp.einsum("bhtd,phd->bhtp", q_v, p))
+        attn = jax.nn.softmax((ac + bd) / math.sqrt(dk), axis=-1)
+        attn = jnp.where(keep, attn / (1.0 - rate), 0.0)
+        return jnp.sum(jnp.einsum("bhts,bhsd->bhtd", attn, v) * w)
+
+    # forward parity under dropout first
+    np.testing.assert_allclose(float(loss_pallas(q_u, q_v, k, v)),
+                               float(loss_ref(q_u, q_v, k, v)),
+                               rtol=2e-2)
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q_u, q_v, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q_u, q_v, k, v)
+    for name, g_got, g_want in zip(["dq_u", "dq_v", "dk", "dv"], got, want):
+        scale = max(1e-3, float(jnp.max(jnp.abs(g_want))))
+        np.testing.assert_allclose(np.asarray(g_got) / scale,
+                                   np.asarray(g_want) / scale,
+                                   atol=2e-2, err_msg=name)
+
+
 def test_encoder_pallas_backend_matches_xla_interpret(monkeypatch):
     """End-to-end: an encoder forward with attention_backend='pallas'
     (kernel in interpret mode) must match the XLA backend."""

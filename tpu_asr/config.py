@@ -92,6 +92,12 @@ class EncoderConfig:
     global_tokens: int = 0
     global_tokens_spacing: int = 1
     global_attn_separate: bool = False
+    # mid-stack time reduction (conformer_encoder.py:395-404, applied :712-724):
+    # None disables; 'pooling' (avg) or 'striding' (conv), applied after layer
+    # `reduction_position` (-1 = after the last layer)
+    reduction: Optional[str] = None
+    reduction_factor: int = 1
+    reduction_position: int = -1
     xscaling: bool = True
     untie_biases: bool = True
     pos_emb_max_len: int = 5000

@@ -129,6 +129,15 @@ class RelPositionMultiHeadAttention(nn.Module):
     att_context_size: Tuple[int, int] = (-1, -1)
     # 'regular' | 'chunked_limited' (aligned-chunk mask, conformer_encoder.py:805-824)
     att_context_style: str = "regular"
+    # longformer-style global attention over the local window
+    # (conformer_encoder.py:456-458; the stripped
+    # RelPositionMultiHeadAttentionLongformer — semantics reconstructed):
+    # tokens at positions i*spacing (i < global_tokens) attend to and are
+    # attended by every position, escaping the sliding window.
+    global_tokens: int = 0
+    global_tokens_spacing: int = 1
+    # separate q/k/v projections for the global-attention scores/values
+    global_attn_separate: bool = False
     # 'xla' | 'pallas' | 'auto': fused VMEM-resident attention kernel for
     # deterministic (inference) passes on TPU; XLA path for training/CPU.
     attention_backend: str = "auto"
@@ -194,17 +203,25 @@ class RelPositionMultiHeadAttention(nn.Module):
 
         backend = self.attention_backend
         if backend == "auto":
-            backend = ("pallas" if (deterministic and
-                                    self.att_context_style == "regular" and
+            # fused kernel for BOTH inference and training on TPU (its custom
+            # VJP is a fused Pallas backward; attention dropout runs in-kernel)
+            backend = ("pallas" if (self.att_context_style == "regular" and
+                                    self.global_tokens == 0 and
                                     jax.default_backend() == "tpu") else "xla")
         if backend == "pallas":
             from tpu_asr.ops.pallas_attention import fused_relpos_attention
+            rate, seed = 0.0, None
+            if not deterministic and self.dropout_rate > 0.0:
+                rate = self.dropout_rate
+                seed = jax.random.randint(self.make_rng("dropout"), (1,),
+                                          0, jnp.iinfo(jnp.int32).max)
             ctx = fused_relpos_attention(
                 jnp.transpose(q_u, (0, 2, 1, 3)),
                 jnp.transpose(q_v, (0, 2, 1, 3)),
                 jnp.transpose(k, (0, 2, 1, 3)),
                 jnp.transpose(v, (0, 2, 1, 3)),
-                p, mask, self.att_context_size)
+                p, mask, self.att_context_size,
+                dropout_rate=rate, dropout_seed=seed)
             out = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, d)
             out = out.astype(self.dtype)
             return nn.Dense(d, dtype=self.dtype, name="linear_out")(out)
@@ -246,6 +263,28 @@ class RelPositionMultiHeadAttention(nn.Module):
                 local_ok &= rel >= -left
             if right >= 0:
                 local_ok &= rel <= right
+            if self.global_tokens > 0:
+                # longformer global tokens: rows/columns of global positions
+                # escape the sliding window entirely
+                pos = jnp.arange(t)
+                is_glob = ((pos % self.global_tokens_spacing == 0) &
+                           (pos < self.global_tokens * self.global_tokens_spacing))
+                glob_pair = is_glob[:, None] | is_glob[None, :]
+                local_ok |= glob_pair
+                if self.global_attn_separate:
+                    # separate projections score the global links
+                    qg = nn.Dense(d, dtype=self.dtype, name="linear_q_global")(x)
+                    kg = nn.Dense(d, dtype=self.dtype, name="linear_k_global")(kv_in)
+                    vg = nn.Dense(d, dtype=self.dtype, name="linear_v_global")(kv_in)
+                    qg = qg.reshape(b, t, h, dk) + bias_u.astype(q.dtype)[None, None]
+                    kg = kg.reshape(b, t_kv, h, dk)
+                    g_scores = jnp.einsum(
+                        "bthd,bshd->bhts", qg, kg,
+                        preferred_element_type=jnp.float32).astype(self.dtype)
+                    g_scores = g_scores / math.sqrt(dk) + key_bias
+                    scores = jnp.where(glob_pair[None, None], g_scores, scores)
+                    v = jnp.where(is_glob[None, :, None, None],
+                                  vg.reshape(b, t_kv, h, dk), v)
             scores = scores + jnp.where(local_ok, 0.0, neg)[None, None]
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if self.dropout_rate > 0.0 and not deterministic:
@@ -397,7 +436,10 @@ class ConformerLayer(nn.Module):
         h = RelPositionMultiHeadAttention(
             c.d_model, c.n_heads, c.dropout_att, self.dtype,
             tuple(c.att_context_size), c.att_context_style,
-            c.attention_backend, name="self_attn"
+            global_tokens=c.global_tokens,
+            global_tokens_spacing=c.global_tokens_spacing,
+            global_attn_separate=c.global_attn_separate,
+            attention_backend=c.attention_backend, name="self_attn"
         )(h, pos_emb, mask, deterministic=det, kv_cache=lc, kv_valid=lc_len)
         x = x + drop(h)
 
@@ -417,6 +459,36 @@ class ConformerLayer(nn.Module):
         if cache is not None:
             return x, new_lc, new_lt
         return x
+
+
+class SubsamplingReductionModule(nn.Module):
+    """Mid-stack time reduction (NeMo conformer_encoder.py:395-404; the
+    SubsamplingReductionModule implementation is stripped from the snapshot —
+    reconstructed): 'pooling' = average pool over `factor`-frame groups,
+    'striding' = strided Conv1d. Lengths become ceil(len / factor)."""
+
+    reduction: str
+    d_model: int
+    factor: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray):
+        # x: (B, T, D)
+        b, t, d = x.shape
+        f = self.factor
+        pad = (-t) % f
+        if self.reduction == "pooling":
+            xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            y = xp.reshape(b, (t + pad) // f, f, d).mean(axis=2)
+        elif self.reduction == "striding":
+            y = nn.Conv(self.d_model, kernel_size=(f,), strides=(f,),
+                        padding=((0, pad),), dtype=self.dtype,
+                        name="conv")(x.astype(self.dtype))
+        else:
+            raise ValueError(f"unknown reduction: {self.reduction}")
+        new_len = (lengths + f - 1) // f
+        return y.astype(x.dtype), new_len
 
 
 class ConformerEncoder(nn.Module):
@@ -499,23 +571,52 @@ class ConformerEncoder(nn.Module):
                     drop_probs[l] = p
         use_sd = train and c.stochastic_depth_drop_prob > 0.0
 
-        def body(mod, carry, drop_p):
-            y = mod(carry, pos_emb, mask, train=train)
-            if use_sd:
-                u = jax.random.uniform(mod.make_rng("layerdrop"), ())
-                keep = (u >= drop_p).astype(y.dtype)
-                y = carry + keep * (y - carry) / jnp.maximum(
-                    (1.0 - drop_p).astype(y.dtype), 1e-6)
-            return y, y
+        def make_body(pos_emb, mask):
+            def body(mod, carry, drop_p):
+                y = mod(carry, pos_emb, mask, train=train)
+                if use_sd:
+                    u = jax.random.uniform(mod.make_rng("layerdrop"), ())
+                    keep = (u >= drop_p).astype(y.dtype)
+                    y = carry + keep * (y - carry) / jnp.maximum(
+                        (1.0 - drop_p).astype(y.dtype), 1e-6)
+                return y, y
+            return nn.remat(body, prevent_cse=False) if c.remat else body
 
-        if c.remat:
-            body = nn.remat(body, prevent_cse=False)
+        def run_scan(body, mod, x, probs):
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True, "layerdrop": True},
+                length=len(probs),
+            )
+            return scanned(mod, x, jnp.asarray(np.asarray(probs)))
 
-        scanned = nn.scan(
-            body,
-            variable_axes={"params": 0, "batch_stats": 0},
-            split_rngs={"params": True, "dropout": True, "layerdrop": True},
-            length=c.n_layers,
-        )
-        x, layer_feats = scanned(layer, x, jnp.asarray(drop_probs))
+        reduce_on = c.reduction is not None and c.reduction_factor > 1
+        mid_reduce = reduce_on and 0 <= c.reduction_position < c.n_layers - 1
+        if not mid_reduce:
+            x, layer_feats = run_scan(make_body(pos_emb, mask), layer, x,
+                                      drop_probs)
+            if reduce_on:      # reduction_position == -1: after the last layer
+                x, out_len = SubsamplingReductionModule(
+                    c.reduction, c.d_model, c.reduction_factor, self.dtype,
+                    name="reduction_subsampling")(x, out_len)
+            return x, out_len, layer_feats
+
+        # mid-stack reduction (conformer_encoder.py:712-724): layers 0..pos run
+        # at full rate, the stack after `reduction_position` at the reduced
+        # rate with a fresh positional encoding and mask. Two scan segments
+        # ('layers' / 'layers_post') replace the reference's single ModuleList.
+        # layer_feats returns the POST-reduction segment's features.
+        n1 = c.reduction_position + 1
+        x, _ = run_scan(make_body(pos_emb, mask), layer, x, drop_probs[:n1])
+        x, out_len = SubsamplingReductionModule(
+            c.reduction, c.d_model, c.reduction_factor, self.dtype,
+            name="reduction_subsampling")(x, out_len)
+        t2 = x.shape[1]
+        pos_emb2 = rel_positional_encoding(t2, c.d_model, self.dtype)
+        mask2 = jnp.arange(t2)[None, :] < out_len[:, None]
+        x = jnp.where(mask2[..., None], x, 0.0)
+        layer_post = ConformerLayer(c, self.dtype, name="layers_post")
+        x, layer_feats = run_scan(make_body(pos_emb2, mask2), layer_post, x,
+                                  drop_probs[n1:])
         return x, out_len, layer_feats
