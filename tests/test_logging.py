@@ -1,0 +1,71 @@
+"""MetricsLogger tests — verifies the W&B passthrough against a mock wandb
+module (the library is absent in this image; reference logs everything to W&B,
+asr_train.py:1687-1690), plus the JSONL sink contract."""
+
+import json
+import sys
+import types
+
+import pytest
+
+from tpu_asr.train.loop import MetricsLogger
+
+
+class _FakeRun:
+    def __init__(self):
+        self.rows = []
+
+    def log(self, row, step=None):
+        self.rows.append((dict(row), step))
+
+
+@pytest.fixture
+def fake_wandb(monkeypatch):
+    mod = types.ModuleType("wandb")
+    mod.calls = []
+    run = _FakeRun()
+
+    def init(project=None, name=None, dir=None):
+        mod.calls.append({"project": project, "name": name, "dir": dir})
+        return run
+
+    mod.init = init
+    mod.run = run
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+    return mod
+
+
+def test_wandb_passthrough_logs_rows(tmp_path, fake_wandb):
+    lg = MetricsLogger(tmp_path, project="kd-asr", name="run1")
+    assert fake_wandb.calls == [{"project": "kd-asr", "name": "run1",
+                                 "dir": str(tmp_path)}]
+    lg.log({"loss/total": 1.5, "lr": 0.01, "text": "skip-me"}, step=3)
+    lg.log({"loss/total": 1.25}, step=4)
+    rows = fake_wandb.run.rows
+    assert rows[0] == ({"step": 3, "loss/total": 1.5, "lr": 0.01}, 3)
+    assert rows[1] == ({"step": 4, "loss/total": 1.25}, 4)
+    # JSONL sink gets the same rows
+    lines = [json.loads(l) for l in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["loss/total"] == 1.5 and lines[1]["step"] == 4
+
+
+def test_wandb_init_failure_degrades_gracefully(tmp_path, monkeypatch):
+    mod = types.ModuleType("wandb")
+
+    def init(**kw):
+        raise RuntimeError("no API key")
+
+    mod.init = init
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+    lg = MetricsLogger(tmp_path)
+    lg.log({"loss/total": 2.0}, step=1)     # must not raise
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_jsonl_only_when_wandb_absent(tmp_path, monkeypatch):
+    monkeypatch.setitem(sys.modules, "wandb", None)  # import -> ImportError
+    lg = MetricsLogger(tmp_path)
+    assert lg._wandb is None
+    lg.log({"a": 1}, step=0)
+    assert json.loads((tmp_path / "metrics.jsonl").read_text())["a"] == 1.0
