@@ -98,14 +98,26 @@ def ctc_loss(
     blank: Optional[int] = None,
     reduction: str = "mean_batch",
     zero_infinity: bool = True,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """CTC loss matching NeMo's reduction semantics (ctc.py:25-82).
 
     reduction: 'mean_batch' (mean of per-sample NLLs), 'mean' (torch 'mean': per-sample
     NLL / target_length, then batch mean), 'mean_volume' (sum / total target tokens),
     'sum', or 'none'.
+    backend: 'auto' runs the single-launch Pallas forward-backward kernel on
+    TPU (ops/pallas_ctc.py) and the lax.scan recursion elsewhere.
     """
-    nll = ctc_forward_logprob(log_probs, targets, input_lengths, target_lengths, blank)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if backend == "pallas":
+        from tpu_asr.ops.pallas_ctc import ctc_nll_pallas
+        v = log_probs.shape[-1]
+        nll = ctc_nll_pallas(log_probs, targets, input_lengths, target_lengths,
+                             blank if blank is not None else v - 1)
+    else:
+        nll = ctc_forward_logprob(log_probs, targets, input_lengths,
+                                  target_lengths, blank)
     if zero_infinity:
         bad = ~jnp.isfinite(nll) | (nll >= -NEG_INF / 2)
         nll = jnp.where(bad, 0.0, nll)

@@ -1,0 +1,270 @@
+"""CTC forward-backward as Pallas TPU kernels.
+
+Replaces the `lax.scan` CTC recursion (ops/ctc.py — the cuDNN-CTC equivalent,
+SURVEY.md §2.3) for the training hot path: the (B, T, L) label log-probs, the
+alpha/beta lattices, and the per-step shifts all live in VMEM inside ONE
+kernel launch instead of T~376 scan iterations of (B, L) elementwise XLA ops
+(each a dynamic-slice + 3-way logsumexp launch). Grid is over batch chunks so
+the working set (lp + alpha + grad, fp32) stays under the VMEM budget.
+
+Forward kernel: alpha recursion + per-sample NLL, saving the full alpha
+lattice. Backward kernel: beta recursion fused with the posterior
+gamma[t,s] = exp(alpha + beta - lp_t - ll) accumulation, emitting
+d(lp_labels) directly — the scatter back to the (B, T, V) vocabulary grid is
+one one-hot einsum on the MXU outside the kernel.
+
+Numerics: log-space with max-shifted 3-way logsumexp, exactly the scan
+implementation's math (parity-tested against it and torch.nn.CTCLoss). NLLs
+are bit-comparable to the scan (2e-5); the analytic-posterior backward (the
+cuDNN-CTC formulation) carries ~6e-4 max-abs gradient error vs a float64
+oracle from fp32 alpha/beta accumulation over T~400 lattice steps, where the
+scan's autodiff VJP sits at ~5e-7 — both far below bf16 training noise. Pass
+backend="scan" to ops/ctc.ctc_loss when exact VJP numerics matter.
+
+Measured B=32 x T=376 x V=129, S<=64 on v5e-1: fwd 1.24 -> 0.77 ms,
+fwd+bwd 2.83 -> 1.04 ms vs the jitted scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _shift_right(x, n, fill=NEG_INF):
+    """x[..., s] <- x[..., s-n] with `fill` in the first n lanes."""
+    y = pltpu.roll(x, shift=n, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < n, fill, y)
+
+
+def _shift_left(x, n, fill=NEG_INF):
+    y = pltpu.roll(x, shift=x.shape[1] - n, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= x.shape[1] - n, fill, y)
+
+
+def _lse3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    s = jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m)
+    out = m + jnp.log(s)
+    return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
+
+
+def _ctc_fwd_kernel(lp_ref, skip_ref, valid_ref, ilen_ref, tlen_ref,
+                    alpha_ref, nll_ref, *, t_max: int):
+    """One batch-chunk program. lp_ref: (Bc, T, Lp); skip/valid: (Bc, Lp);
+    ilen/tlen: (Bc, 1). Writes alpha (Bc, T, Lp) and nll (Bc, 1)."""
+    skip = skip_ref[:] != 0
+    valid = valid_ref[:] != 0
+    ilen = ilen_ref[:]                                     # (Bc, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, skip.shape, 1)
+
+    lp0 = lp_ref[:, 0, :]
+    alpha = jnp.where((lane <= 1) & valid, lp0, NEG_INF)
+    # position 1 only exists when target_length > 0 (valid covers it: lane 1
+    # is valid iff 1 <= 2*tlen, i.e. tlen >= 1)
+    alpha_ref[:, 0, :] = alpha
+
+    def body(t, alpha):
+        lp_t = lp_ref[:, t, :]
+        a1 = _shift_right(alpha, 1)
+        a2 = jnp.where(skip, _shift_right(alpha, 2), NEG_INF)
+        new = _lse3(alpha, a1, a2) + lp_t
+        new = jnp.where(valid, new, NEG_INF)
+        active = t < ilen                                   # (Bc, 1)
+        new = jnp.where(active, new, alpha)
+        alpha_ref[:, t, :] = new
+        return new
+
+    alpha = jax.lax.fori_loop(1, t_max, body, alpha)
+
+    # nll = -logsumexp(alpha[2S], alpha[2S-1])
+    idx_last = 2 * tlen_ref[:]                              # (Bc, 1)
+    a_last = jnp.max(jnp.where(lane == idx_last, alpha, NEG_INF), axis=1,
+                     keepdims=True)
+    a_prev = jnp.max(jnp.where(lane == jnp.maximum(idx_last - 1, 0), alpha,
+                               NEG_INF), axis=1, keepdims=True)
+    a_prev = jnp.where(tlen_ref[:] > 0, a_prev, NEG_INF)
+    m = jnp.maximum(a_last, a_prev)
+    ll = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
+    nll_ref[:] = -ll
+
+
+def _ctc_bwd_kernel(lp_ref, skip_from_ref, valid_ref, ilen_ref, tlen_ref,
+                    alpha_ref, nll_ref, grad_ref, *, t_max: int):
+    """Beta recursion + posterior accumulation. grad_ref: (Bc, T, Lp) gets
+    -gamma[t, s] = -exp(alpha + beta - lp_t + nll) (d nll / d lp_labels).
+
+    skip_from_ref[s] = can_skip[s + 2]: beta may jump s -> s+2 iff position
+    s+2 skips over s+1 (precomputed host-side; Mosaic's select lowering
+    dislikes in-kernel bool lane shuffles)."""
+    skip_from = skip_from_ref[:] != 0
+    valid = valid_ref[:] != 0
+    ilen = ilen_ref[:]
+    tlen = tlen_ref[:]
+    nll = nll_ref[:]                                        # (Bc, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, skip_from.shape, 1)
+
+    # beta[t, s] includes lp[t, s]; init at each sample's last frame:
+    # beta[len-1, s] = lp[len-1, s] for s in {2S, 2S-1}
+    idx_last = 2 * tlen
+    is_end = (lane == idx_last) | ((lane == idx_last - 1) & (tlen > 0))
+
+    def body(i, beta):
+        t = t_max - 1 - i
+        lp_t = lp_ref[:, t, :]
+        # start a sample's recursion at its last valid frame
+        at_end = (t == ilen - 1)                            # (Bc, 1)
+        b1 = _shift_left(beta, 1)
+        b2 = jnp.where(skip_from, _shift_left(beta, 2), NEG_INF)
+        new = _lse3(beta, b1, b2) + lp_t
+        new = jnp.where(at_end, jnp.where(is_end, lp_t, NEG_INF), new)
+        new = jnp.where(valid, new, NEG_INF)
+        started = (t <= ilen - 1)
+        new = jnp.where(started, new, NEG_INF)
+        # posterior / gradient for frame t (0 until the sample has started)
+        alpha_t = alpha_ref[:, t, :]
+        g = -jnp.exp(alpha_t + new - lp_t + nll)
+        grad_ref[:, t, :] = jnp.where(started, jnp.where(valid, g, 0.0), 0.0)
+        return new
+
+    beta0 = jnp.full(skip_from.shape, NEG_INF, jnp.float32)
+    jax.lax.fori_loop(0, t_max, body, beta0)
+
+
+def _prep(log_probs, targets, input_lengths, target_lengths, blank):
+    """Shared lattice setup (mirrors ops/ctc.py contract)."""
+    b, t_max, v = log_probs.shape
+    s = targets.shape[1]
+    l = 2 * s + 1
+    lp_pad = _round_up(l, LANE)
+
+    blanks = jnp.full((b, s + 1), blank, targets.dtype)
+    ext = jnp.stack([blanks[:, :s], targets], axis=2).reshape(b, 2 * s)
+    ext = jnp.concatenate([ext, blanks[:, -1:]], axis=1)    # (B, L)
+
+    pos = jnp.arange(l)[None, :]
+    valid = pos <= 2 * target_lengths[:, None]
+    ext_prev2 = jnp.concatenate(
+        [jnp.full((b, 2), blank, ext.dtype), ext[:, :-2]], axis=1)
+    can_skip = (ext != blank) & (ext != ext_prev2) & (pos >= 2)
+
+    lp_labels = jnp.take_along_axis(
+        log_probs.astype(jnp.float32), ext[:, None, :].astype(jnp.int32),
+        axis=2)                                             # (B, T, L)
+
+    pad_l = lp_pad - l
+    lp_labels = jnp.pad(lp_labels, ((0, 0), (0, 0), (0, pad_l)),
+                        constant_values=NEG_INF)
+    valid = jnp.pad(valid, ((0, 0), (0, pad_l)))
+    can_skip = jnp.pad(can_skip, ((0, 0), (0, pad_l)))
+    return lp_labels, ext, can_skip, valid, lp_pad
+
+
+def _pick_bc(b, t_max, lp_pad, n_cubes):
+    """Batch rows per program: n_cubes (B,T,L) blocks, 2x for pallas's
+    input/output double buffering, under a ~14MB VMEM budget. Mosaic requires
+    the block sublane dim (rows here) be a multiple of 8 or the full batch,
+    so candidates are the 8-multiple divisors of b (plus b itself)."""
+    cands = [d for d in range(1, b + 1)
+             if b % d == 0 and (d % 8 == 0 or d == b)]
+    for bc in sorted(cands, reverse=True):
+        if 2 * n_cubes * bc * t_max * lp_pad * 4 <= 14 * 2 ** 20:
+            return bc
+    return min(cands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def ctc_nll_pallas(log_probs, targets, input_lengths, target_lengths,
+                   blank, interpret=False):
+    """Per-sample CTC NLL (B,), fp32 — kernel-accelerated drop-in for
+    ops/ctc.ctc_forward_logprob. Differentiable w.r.t. log_probs."""
+    nll, _ = _ctc_fwd(log_probs, targets, input_lengths, target_lengths,
+                      blank, interpret)
+    return nll
+
+
+def _ctc_fwd(log_probs, targets, input_lengths, target_lengths, blank,
+             interpret):
+    b, t_max, v = log_probs.shape
+    lp_labels, ext, can_skip, valid, lp_pad = _prep(
+        log_probs, targets, input_lengths, target_lengths, blank)
+    bc = _pick_bc(b, t_max, lp_pad, n_cubes=2)
+
+    row = pl.BlockSpec((bc, lp_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((bc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cube = pl.BlockSpec((bc, t_max, lp_pad), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    alpha, nll = pl.pallas_call(
+        functools.partial(_ctc_fwd_kernel, t_max=t_max),
+        grid=(b // bc,),
+        in_specs=[cube, row, row,
+                  col, col],
+        out_specs=(cube, col),
+        out_shape=(jax.ShapeDtypeStruct((b, t_max, lp_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1), jnp.float32)),
+        interpret=interpret,
+    )(lp_labels, can_skip.astype(jnp.int32), valid.astype(jnp.int32),
+      input_lengths.astype(jnp.int32)[:, None],
+      target_lengths.astype(jnp.int32)[:, None])
+    return nll[:, 0], (lp_labels, alpha, nll, ext, can_skip, valid,
+                       input_lengths, target_lengths, log_probs.shape, lp_pad)
+
+
+def _ctc_vjp_fwd(log_probs, targets, input_lengths, target_lengths, blank,
+                 interpret):
+    nll, res = _ctc_fwd(log_probs, targets, input_lengths, target_lengths,
+                        blank, interpret)
+    return nll, res
+
+
+def _ctc_vjp_bwd(blank, interpret, res, g):
+    (lp_labels, alpha, nll, ext, can_skip, valid, input_lengths,
+     target_lengths, lp_shape, lp_pad) = res
+    b, t_max, v = lp_shape
+    bc = _pick_bc(b, t_max, lp_pad, n_cubes=3)
+
+    row = pl.BlockSpec((bc, lp_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((bc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cube = pl.BlockSpec((bc, t_max, lp_pad), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    skip_from = jnp.concatenate(
+        [can_skip[:, 2:], jnp.zeros((b, 2), can_skip.dtype)], axis=1)
+    dlp_lab = pl.pallas_call(
+        functools.partial(_ctc_bwd_kernel, t_max=t_max),
+        grid=(b // bc,),
+        in_specs=[cube, row, row, col, col, cube, col],
+        out_specs=cube,
+        out_shape=jax.ShapeDtypeStruct((b, t_max, lp_pad), jnp.float32),
+        interpret=interpret,
+    )(lp_labels, skip_from.astype(jnp.int32), valid.astype(jnp.int32),
+      input_lengths.astype(jnp.int32)[:, None],
+      target_lengths.astype(jnp.int32)[:, None], alpha, nll)
+
+    l = ext.shape[1]
+    # scatter d(lp_labels) back onto the vocab axis: one-hot MXU einsum
+    onehot = jax.nn.one_hot(ext, v, dtype=jnp.float32)      # (B, L, V)
+    # highest precision: default TPU matmul rounds fp32 operands to bf16,
+    # which perturbs the fp32 posteriors computed in the kernel
+    dlp = jnp.einsum("btl,blv->btv", dlp_lab[:, :, :l], onehot,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    dlp = dlp * g[:, None, None]
+    return (dlp, None, None, None)
+
+
+ctc_nll_pallas.defvjp(_ctc_vjp_fwd, _ctc_vjp_bwd)
