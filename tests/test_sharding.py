@@ -118,3 +118,54 @@ def test_dp_tp_train_step_matches_replicated():
     k = s1.params["student"]["encoder"]["layers"]["feed_forward1"]["linear1"]["kernel"]
     assert len(k.sharding.device_set) == 8 or \
         k.sharding.spec == P(None, None, "model")
+
+
+def test_checkpoint_reshards_on_restore(tmp_path):
+    """Restore a replicated-saved checkpoint into a TP-sharded state (and a
+    TP-sharded-saved checkpoint into a replicated state): orbax restores to
+    the template's shardings, so checkpoints move freely across mesh layouts
+    (the reference's torch.load + DDP re-wrap path, asr_train.py resume)."""
+    from tpu_asr.utils.checkpoint import (restore_train_state,
+                                          save_train_state)
+
+    teacher_cfg, student_cfg = _cfgs()
+    model = DistilCTCModel(student_cfg, teacher_cfg,
+                           DistillationConfig(use_logit_distillation=True))
+    sig = jnp.zeros((2, 8000), jnp.float32)
+    ln = jnp.full((2,), 8000, jnp.int32)
+    tk = jnp.zeros((2, 4), jnp.int32)
+    tl = jnp.full((2,), 4, jnp.int32)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "specaug": key, "dropout": key},
+                           sig, ln, tk, tl, train=True)
+    tx = build_optimizer(OptimConfig(lr=1e-3, sched_name="none", d_model=16),
+                         variables["params"])
+    state = DistilTrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=tx)
+    state = state.replace(step=jnp.asarray(7))
+
+    save_train_state(tmp_path, state, name="repl")
+
+    # restore into a tp-sharded template: values equal, template shardings kept
+    mesh = make_mesh(dp_size=2, tp_size=4)
+    blank = jax.tree.map(jnp.zeros_like, state)
+    sharded_tmpl = blank.replace(
+        params=apply_sharding(blank.params, mesh),
+        opt_state=apply_sharding(blank.opt_state, mesh),
+        batch_stats=apply_sharding(blank.batch_stats, mesh))
+    restored = restore_train_state(tmp_path, sharded_tmpl, name="repl")
+    assert int(restored.step) == 7
+    k = restored.params["student"]["encoder"]["layers"]["feed_forward1"]["linear1"]["kernel"]
+    want = state.params["student"]["encoder"]["layers"]["feed_forward1"]["linear1"]["kernel"]
+    assert k.sharding.spec == P(None, None, "model")
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(want))
+
+    # round-trip the sharded state back into a replicated template
+    save_train_state(tmp_path, restored, name="tp")
+    back = restore_train_state(tmp_path, jax.tree.map(jnp.zeros_like, state),
+                               name="tp")
+    chex_equal = jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params, back.params)
+    del chex_equal
