@@ -34,6 +34,20 @@ assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_live_executables():
+    """Free compiled-executable memory between test modules.
+
+    jaxlib segfaults/aborts inside persistent-cache executable
+    (de)serialization when a full single-process suite run has accumulated
+    hundreds of live compiled programs (reproduced at the same late-suite
+    point across cold and warm caches; every smaller subset passes). Clearing
+    jit caches at module boundaries keeps the process lean; the on-disk
+    compilation cache makes the re-lowering cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
