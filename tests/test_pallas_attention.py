@@ -1,6 +1,12 @@
 """Fused rel-pos attention kernel parity (interpret mode on CPU) against the
 XLA attention math — including non-lane-aligned T/dk (padding paths), masks,
-and local attention windows."""
+and local attention windows.
+
+The kernel's position scores use the rotation factorization of the relative
+sinusoid table (ops/pallas_attention module docstring): tests draw a random
+linear_pos weight W, hand the KERNEL the weight, and hand the XLA reference
+the projected table p = PE @ W — parity then proves the factorization against
+the rel_shift construction end to end."""
 
 import math
 
@@ -11,6 +17,15 @@ import pytest
 
 from tpu_asr.models.conformer import rel_positional_encoding, rel_shift
 from tpu_asr.ops.pallas_attention import fused_relpos_attention
+
+
+def _pos_pair(rng, t, h, dk):
+    """Random linear_pos weight (D=h*dk) and its projected table p."""
+    d = h * dk
+    w = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.3)
+    pe = rel_positional_encoding(t, d)                       # (2t-1, d)
+    p = (pe @ w).reshape(2 * t - 1, h, dk)
+    return w.reshape(d, h, dk), p
 
 
 def _xla_reference(q_u, q_v, k, v, p, mask, ctx=(-1, -1)):
@@ -41,18 +56,18 @@ def test_fused_attention_matches_xla(t, dk):
     rng = np.random.default_rng(0)
     mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
     q_u, q_v, k, v = (mk(b, h, t, dk) for _ in range(4))
-    p = mk(2 * t - 1, h, dk)
+    w, p = _pos_pair(rng, t, h, dk)
     lengths = np.asarray([t, max(1, t - 7)])
     mask = jnp.arange(t)[None, :] < jnp.asarray(lengths)[:, None]
 
-    got = fused_relpos_attention(q_u, q_v, k, v, p, mask, interpret=True)
+    got = fused_relpos_attention(q_u, q_v, k, v, w, mask, interpret=True)
     want = _xla_reference(q_u, q_v, k, v, p, mask)
     # kernel uses bf16 MXU operands with fp32 accumulation (same as the XLA
     # encoder path); tolerance reflects bf16 operand rounding
     for i, ln in enumerate(lengths):
         np.testing.assert_allclose(np.asarray(got)[i, :, :ln],
                                    np.asarray(want)[i, :, :ln],
-                                   rtol=5e-3, atol=2e-3)
+                                   rtol=5e-3, atol=4e-3)
 
 
 def test_fused_attention_local_context():
@@ -60,39 +75,43 @@ def test_fused_attention_local_context():
     rng = np.random.default_rng(1)
     mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
     q_u, q_v, k, v = (mk(b, h, t, dk) for _ in range(4))
-    p = mk(2 * t - 1, h, dk)
+    w, p = _pos_pair(rng, t, h, dk)
     mask = jnp.ones((b, t), bool)
-    got = fused_relpos_attention(q_u, q_v, k, v, p, mask,
+    got = fused_relpos_attention(q_u, q_v, k, v, w, mask,
                                  att_context_size=(3, 3), interpret=True)
     want = _xla_reference(q_u, q_v, k, v, p, mask, ctx=(3, 3))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=5e-3, atol=2e-3)
+                               rtol=5e-3, atol=4e-3)
 
 
 def test_fused_attention_backward_matches_xla():
-    """The fused Pallas backward kernel's grads (dq_u, dq_v, dk, dv, dp) match
-    jax.grad through the XLA reference math."""
+    """The fused Pallas backward's grads (dq_u, dq_v, dk, dv, and d(linear_pos
+    kernel) through the rotation projection) match jax.grad through the XLA
+    reference math."""
     b, h, t, dk = 2, 2, 100, 44          # non-aligned sizes exercise padding
     rng = np.random.default_rng(2)
     mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
     q_u, q_v, k, v = (mk(b, h, t, dk) for _ in range(4))
-    p = mk(2 * t - 1, h, dk)
+    w, _ = _pos_pair(rng, t, h, dk)
+    d = h * dk
+    pe = rel_positional_encoding(t, d)
     lengths = np.asarray([t, t - 13])
     mask = jnp.arange(t)[None, :] < jnp.asarray(lengths)[:, None]
-    w = mk(b, h, t, dk)                  # random cotangent via weighted sum
+    cot = mk(b, h, t, dk)                # random cotangent via weighted sum
     valid = mask[:, None, :, None]
 
-    def loss_pallas(q_u, q_v, k, v, p):
-        out = fused_relpos_attention(q_u, q_v, k, v, p, mask, interpret=True)
-        return jnp.sum(jnp.where(valid, out, 0.0) * w)
+    def loss_pallas(q_u, q_v, k, v, w):
+        out = fused_relpos_attention(q_u, q_v, k, v, w, mask, interpret=True)
+        return jnp.sum(jnp.where(valid, out, 0.0) * cot)
 
-    def loss_xla(q_u, q_v, k, v, p):
+    def loss_xla(q_u, q_v, k, v, w):
+        p = (pe @ w.reshape(d, d)).reshape(2 * t - 1, h, dk)
         out = _xla_reference(q_u, q_v, k, v, p, mask)
-        return jnp.sum(jnp.where(valid, out, 0.0) * w)
+        return jnp.sum(jnp.where(valid, out, 0.0) * cot)
 
-    got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, p)
-    want = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, p)
-    names = ["dq_u", "dq_v", "dk", "dv", "dp"]
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, w)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, w)
+    names = ["dq_u", "dq_v", "dk", "dv", "dw_pos"]
     for name, g_got, g_want in zip(names, got, want):
         scale = max(1e-3, float(jnp.max(jnp.abs(g_want))))
         np.testing.assert_allclose(np.asarray(g_got) / scale,
@@ -107,20 +126,20 @@ def test_fused_attention_dropout_deterministic_and_scaled():
     rng = np.random.default_rng(3)
     mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
     q_u, q_v, k, v = (mk(b, h, t, dk) for _ in range(4))
-    p = mk(2 * t - 1, h, dk)
+    w, _ = _pos_pair(rng, t, h, dk)
     mask = jnp.ones((b, t), bool)
     seed = jnp.asarray([7], jnp.int32)
 
-    a = fused_relpos_attention(q_u, q_v, k, v, p, mask, dropout_rate=0.3,
+    a = fused_relpos_attention(q_u, q_v, k, v, w, mask, dropout_rate=0.3,
                                dropout_seed=seed, interpret=True)
-    a2 = fused_relpos_attention(q_u, q_v, k, v, p, mask, dropout_rate=0.3,
+    a2 = fused_relpos_attention(q_u, q_v, k, v, w, mask, dropout_rate=0.3,
                                 dropout_seed=seed, interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
-    a3 = fused_relpos_attention(q_u, q_v, k, v, p, mask, dropout_rate=0.3,
+    a3 = fused_relpos_attention(q_u, q_v, k, v, w, mask, dropout_rate=0.3,
                                 dropout_seed=seed + 1, interpret=True)
     assert not np.allclose(np.asarray(a), np.asarray(a3))
     # dropped mass is re-scaled: outputs stay the same order of magnitude
-    base = fused_relpos_attention(q_u, q_v, k, v, p, mask, interpret=True)
+    base = fused_relpos_attention(q_u, q_v, k, v, w, mask, interpret=True)
     ratio = float(jnp.mean(jnp.abs(a)) / jnp.mean(jnp.abs(base)))
     assert 0.5 < ratio < 2.0
 
@@ -145,10 +164,10 @@ def test_fused_attention_dropout_grads_consistent():
     rng = np.random.default_rng(4)
     mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
     q_u, q_v, k, v = (mk(b, h, t, dk) for _ in range(4))
-    p = mk(2 * t - 1, h, dk)
+    w, p = _pos_pair(rng, t, h, dk)
     mask = jnp.ones((b, t), bool)
     seed = jnp.asarray([11], jnp.int32)
-    w = mk(b, h, t, dk)
+    cot = mk(b, h, t, dk)
 
     # the kernel pads t to the 128-lane tile; the mask indexes the PADDED grid
     tp = 128
@@ -156,22 +175,24 @@ def test_fused_attention_dropout_grads_consistent():
     keep = jnp.asarray(keep)
 
     def loss_pallas(q_u, q_v, k, v):
-        out = fused_relpos_attention(q_u, q_v, k, v, p, mask,
+        out = fused_relpos_attention(q_u, q_v, k, v, w, mask,
                                      dropout_rate=rate, dropout_seed=seed,
                                      interpret=True)
-        return jnp.sum(out * w)
+        return jnp.sum(out * cot)
 
     def loss_ref(q_u, q_v, k, v):
         ac = jnp.einsum("bhtd,bhsd->bhts", q_u, k)
         bd = rel_shift(jnp.einsum("bhtd,phd->bhtp", q_v, p))
         attn = jax.nn.softmax((ac + bd) / math.sqrt(dk), axis=-1)
         attn = jnp.where(keep, attn / (1.0 - rate), 0.0)
-        return jnp.sum(jnp.einsum("bhts,bhsd->bhtd", attn, v) * w)
+        return jnp.sum(jnp.einsum("bhts,bhsd->bhtd", attn, v) * cot)
 
-    # forward parity under dropout first
+    # forward parity under dropout first (absolute tolerance: the cot-weighted
+    # sum nets to ~0.04 by cancellation, so bf16 operand rounding dominates
+    # any relative measure)
     np.testing.assert_allclose(float(loss_pallas(q_u, q_v, k, v)),
                                float(loss_ref(q_u, q_v, k, v)),
-                               rtol=2e-2)
+                               rtol=0, atol=5e-3)
     got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q_u, q_v, k, v)
     want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q_u, q_v, k, v)
     for name, g_got, g_want in zip(["dq_u", "dq_v", "dk", "dv"], got, want):
@@ -179,6 +200,27 @@ def test_fused_attention_dropout_grads_consistent():
         np.testing.assert_allclose(np.asarray(g_got) / scale,
                                    np.asarray(g_want) / scale,
                                    atol=2e-2, err_msg=name)
+
+
+def test_rotation_factorization_exact():
+    """The trig identity behind the kernel: bd via rotate(qW) @ [cos|sin]^T
+    equals the einsum + rel_shift construction to fp32 rounding."""
+    from tpu_asr.ops.pallas_attention import position_tables, rotate_pos_query
+
+    t, h, dk = 37, 2, 44
+    d = h * dk
+    rng = np.random.default_rng(5)
+    q_v = jnp.asarray(rng.normal(size=(1, h, t, dk)).astype(np.float32))
+    w, p = _pos_pair(rng, t, h, dk)
+
+    bd_ref = rel_shift(jnp.einsum("bhtd,phd->bhtp", q_v, p))
+
+    sin_t, cos_t, kpos = position_tables(t, d)
+    qw = jnp.einsum("bhtd,Dhd->bhtD", q_v, w)
+    q_r = rotate_pos_query(qw, sin_t, cos_t)
+    bd_new = jnp.einsum("bhtD,sD->bhts", q_r, kpos)
+    np.testing.assert_allclose(np.asarray(bd_new), np.asarray(bd_ref),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_encoder_pallas_backend_matches_xla_interpret(monkeypatch):

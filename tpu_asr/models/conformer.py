@@ -116,6 +116,20 @@ def rel_shift(x: jnp.ndarray, t_kv: Optional[int] = None) -> jnp.ndarray:
     return x[:, :, :, :t_kv]
 
 
+class _PosKernel(nn.Module):
+    """Bare (d_in, features) kernel under the same param path/init as a
+    bias-free nn.Dense — lets the Pallas attention consume the linear_pos
+    weight directly while the XLA path applies it as a matmul."""
+
+    features: int
+    d_in: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.d_in, self.features), jnp.float32)
+
+
 class RelPositionMultiHeadAttention(nn.Module):
     """Multi-head attention with Transformer-XL relative position encoding and
     (optionally untied) u/v biases — NeMo RelPositionMultiHeadAttention contract."""
@@ -168,7 +182,12 @@ class RelPositionMultiHeadAttention(nn.Module):
         q = nn.Dense(d, dtype=self.dtype, name="linear_q")(x)
         k = nn.Dense(d, dtype=self.dtype, name="linear_k")(kv_in)
         v = nn.Dense(d, dtype=self.dtype, name="linear_v")(kv_in)
-        p = nn.Dense(d, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb)
+        # linear_pos as a raw kernel (same `linear_pos/kernel` param path and
+        # init as the bias-free Dense it replaces): the Pallas path consumes
+        # the weight directly (rotation-factored position scores), the XLA
+        # paths apply it to pos_emb as before.
+        w_pos = _PosKernel(d, d, name="linear_pos")()
+        p = pos_emb.astype(self.dtype) @ w_pos.astype(self.dtype)
 
         q = q.reshape(b, t, h, dk)
         k = k.reshape(b, t_kv, h, dk)
@@ -220,7 +239,7 @@ class RelPositionMultiHeadAttention(nn.Module):
                 jnp.transpose(q_v, (0, 2, 1, 3)),
                 jnp.transpose(k, (0, 2, 1, 3)),
                 jnp.transpose(v, (0, 2, 1, 3)),
-                p, mask, self.att_context_size,
+                w_pos.reshape(d, h, dk), mask, self.att_context_size,
                 dropout_rate=rate, dropout_seed=seed)
             out = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, d)
             out = out.astype(self.dtype)

@@ -1,28 +1,37 @@
 """Fused relative-position attention as Pallas TPU kernels (fwd + bwd).
 
 Replaces the XLA attention's HBM-bound intermediates: per (batch, head-group)
-program, the content scores, the (T, 2T) position scores, the rel-shift,
-masking, softmax, dropout and the value contraction all stay in VMEM — the
-(B, H, T, T) score and (B, H, T, 2T-1) position tensors (the encoder's
-largest intermediates) never touch HBM, in either direction. Reference
-semantics: NeMo RelPositionMultiHeadAttention (SURVEY.md N6; cuDNN attention
-per §2.3).
+program, the content scores, the position scores, masking, softmax, dropout
+and the value contraction all stay in VMEM — the (B, H, T, T) score tensor
+(the encoder's largest intermediate) never touches HBM, in either direction.
+Reference semantics: NeMo RelPositionMultiHeadAttention (SURVEY.md N6; cuDNN
+attention per §2.3).
 
-The Transformer-XL rel-shift needs a per-row shift y[t, s] = qp[t, s+T-1-t],
-whose classic pad/reshape trick requires an odd (2T-1) lane width Mosaic
-cannot relayout. Implemented instead as a LOG-STEP BUTTERFLY of uniform
-`pltpu.roll`s: decompose the per-row left-shift amount (T-1-t) in binary; for
-each bit k roll the whole tile by k and keep the rolled rows where the bit is
-set. log2(T) roll+select passes over a VMEM-resident tile, exact to the bit
-(verified against models/conformer.rel_shift in tests/test_pallas_attention).
-The backward pass applies the REVERSE butterfly (right-rolls) to scatter
-dscores back onto the (T, 2T) position grid.
+THE REL-SHIFT IS GONE — replaced by a rotation factorization. The
+Transformer-XL position score is bd[t, s] = <qW[t], PE[t-s]> with
+qW = (q + pos_bias_v) @ linear_pos_kernel and PE the (non-learned) relative
+sinusoid table (models/conformer.rel_positional_encoding). The angle-addition
+identities sin((t-s)w) = sin(tw)cos(sw) - cos(tw)sin(sw) and
+cos((t-s)w) = cos(tw)cos(sw) + sin(tw)sin(sw) factor this exactly into
 
-Training support: attention-probability dropout runs IN-KERNEL from the Mosaic
-hardware PRNG — the mask is regenerated bit-identically in the backward kernel
-from the same per-program seed, so the (B, H, T, T) mask never exists in HBM
-(the XLA path's mask generation + traffic was ~30% of the train step before
-the rbg-PRNG change; here it is free).
+    bd = [A(t) | B(t)] @ [cos(s w) | sin(s w)]^T
+    A_i(t) =  a_i sin(t w_i) + b_i cos(t w_i)      (a, b = even/odd qW pairs)
+    B_i(t) =  b_i sin(t w_i) - a_i cos(t w_i)
+
+i.e. ONE standard (T, D) x (D, T) matmul against a PRECOMPUTED constant key
+table — no (T, 2T) position tensor, no per-row shift. The previous
+implementation's log-step butterfly of `pltpu.roll`s (and its reverse in the
+backward) measured 43% of the forward and 53% of the fwd+bwd kernel time at
+B=32 x T=376; this removes it entirely and halves the position-matmul width
+(2T -> T). Exact to fp32 rounding vs. rel_shift (parity-tested).
+
+Training support: attention-probability dropout runs IN-KERNEL from the
+Mosaic hardware PRNG — the mask is regenerated bit-identically in the
+backward kernel from the same per-program seed, so the (B, H, T, T) mask
+never exists in HBM. The backward recomputes attention flash-style in VMEM
+and emits all input grads; the position-key table is a constant with no
+gradient, and the linear_pos kernel / q_v grads flow through the plain-JAX
+rotation outside the custom_vjp boundary.
 """
 
 from __future__ import annotations
@@ -44,30 +53,28 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _butterfly_left(y, t):
-    """y[..., t_row, s] <- y[..., t_row, s + (t-1-t_row)] over a 2t lane axis."""
-    amt = t - 1 - jax.lax.broadcasted_iota(jnp.int32, (1, t, 1), 1)
-    kbit = 1
-    while kbit < t:
-        rolled = pltpu.roll(y, shift=2 * t - kbit, axis=2)   # left-roll kbit
-        y = jnp.where((amt & kbit) != 0, rolled, y)
-        kbit *= 2
-    return y
+def position_tables(t: int, d_model: int):
+    """(sin_t, cos_t, kpos): sin/cos(t w_i) tables (t, d/2) for the query-side
+    rotation, and the constant position-key table kpos = [cos | sin] (t, d).
+    Frequencies match rel_positional_encoding (w_i = 10000^(-2i/d))."""
+    i = np.arange(0, d_model, 2, dtype=np.float32)
+    omega = np.exp(-i * (math.log(10000.0) / d_model))     # (d/2,)
+    idx = np.arange(t, dtype=np.float32)[:, None]
+    sin_t = np.sin(idx * omega)
+    cos_t = np.cos(idx * omega)
+    kpos = np.concatenate([cos_t, sin_t], axis=1)          # (t, d)
+    return jnp.asarray(sin_t), jnp.asarray(cos_t), jnp.asarray(kpos)
 
 
-def _butterfly_right(y, t):
-    """Transpose of _butterfly_left: y[..., t_row, j] <- y[..., t_row, j-(t-1-t_row)].
-
-    With the nonzero payload confined to the first t lanes, right-rolling by
-    at most t-1 never wraps (j + amt <= 2t-1), so the circular roll equals the
-    zero-fill shift the math needs."""
-    amt = t - 1 - jax.lax.broadcasted_iota(jnp.int32, (1, t, 1), 1)
-    kbit = 1
-    while kbit < t:
-        rolled = pltpu.roll(y, shift=kbit, axis=2)           # right-roll kbit
-        y = jnp.where((amt & kbit) != 0, rolled, y)
-        kbit *= 2
-    return y
+def rotate_pos_query(qw: jnp.ndarray, sin_t: jnp.ndarray,
+                     cos_t: jnp.ndarray) -> jnp.ndarray:
+    """qw: (..., T, D) position-projected queries -> (..., T, D) rotated
+    [A | B] layout matching position_tables' [cos | sin] key table."""
+    a = qw[..., 0::2]
+    b = qw[..., 1::2]
+    aa = a * sin_t + b * cos_t
+    bb = b * sin_t - a * cos_t
+    return jnp.concatenate([aa, bb], axis=-1)
 
 
 def _local_mask(t, left, right):
@@ -81,13 +88,14 @@ def _local_mask(t, left, right):
     return ok
 
 
-def _recompute_attn(qu, qv, kk, pp, bias, *, t, dk_real, left, right):
+def _recompute_attn(qu, qr, kk, kpos, bias, *, t, dk_real, left, right):
     """Scores -> softmax, shared by fwd and bwd kernels. All VMEM-resident.
-    Returns attn, fp32 (hpp, t, t)."""
+    Returns fp32 (hpp, t, t) attention."""
     bdn = (((2,), (2,)), ((0,), (0,)))             # contract dk, batch heads
     ac = jax.lax.dot_general(qu, kk, bdn, preferred_element_type=jnp.float32)
-    qp2 = jax.lax.dot_general(qv, pp, bdn, preferred_element_type=jnp.float32)
-    bd = _butterfly_left(qp2, t)[:, :, :t]
+    # position scores: one (t, D) x (D, t) matmul vs the constant key table
+    pdn = (((2,), (1,)), ((), ()))
+    bd = jax.lax.dot_general(qr, kpos, pdn, preferred_element_type=jnp.float32)
     scores = (ac + bd) * (1.0 / math.sqrt(dk_real))
     scores = scores + bias
     if left >= 0 or right >= 0:
@@ -125,20 +133,20 @@ def _dropout_mask(seed, shape, rate, interpret=False):
     return bits >= thresh
 
 
-def _attn_fwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref,
-                     o_ref, *, t, dk_real, left, right, hpp, rate,
+def _attn_fwd_kernel(seed_ref, qu_ref, qr_ref, k_ref, v_ref, kpos_ref,
+                     bias_ref, o_ref, *, t, dk_real, left, right, hpp, rate,
                      interpret=False):
     """One program handles `hpp` heads (batched matmuls) — a per-(b,h) grid
     is program-overhead bound at ASR sizes (measured on v5e)."""
     # bf16 MXU operands with fp32 accumulation (matches the XLA path's
     # precision: einsum(..., preferred_element_type=f32) over bf16 inputs)
     qu = qu_ref[0].astype(jnp.bfloat16)            # (hpp, T, dkp)
-    qv = qv_ref[0].astype(jnp.bfloat16)
+    qr = qr_ref[0].astype(jnp.bfloat16)            # (hpp, T, Dp)
     kk = k_ref[0].astype(jnp.bfloat16)
     vv = v_ref[0].astype(jnp.bfloat16)
-    pp = p_ref[:].astype(jnp.bfloat16)             # (hpp, 2T, dkp)
+    kpos = kpos_ref[:].astype(jnp.bfloat16)        # (T, Dp)
 
-    attn = _recompute_attn(qu, qv, kk, pp, bias_ref[0],
+    attn = _recompute_attn(qu, qr, kk, kpos, bias_ref[0],
                            t=t, dk_real=dk_real, left=left, right=right)
     if rate > 0.0:
         prog = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
@@ -152,28 +160,22 @@ def _attn_fwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref,
-                     g_ref, dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref, *,
-                     t, dk_real, left, right, hpp, rate, n_hgroups,
-                     interpret=False):
-    """Flash-style backward: recompute attn in VMEM, then all five grads.
-
-    Grid is (n_hgroups, batch) — batch INNERMOST so the dp accumulator block
-    (index depends only on the head-group) stays resident across the batch
-    sweep and can be accumulated in-place."""
+def _attn_bwd_kernel(seed_ref, qu_ref, qr_ref, k_ref, v_ref, kpos_ref,
+                     bias_ref, g_ref, dqu_ref, dqr_ref, dk_ref, dv_ref, *,
+                     t, dk_real, left, right, hpp, rate, interpret=False):
+    """Flash-style backward: recompute attn in VMEM, then all four grads.
+    No cross-program accumulation — the position-key table is a constant."""
     qu = qu_ref[0].astype(jnp.bfloat16)
-    qv = qv_ref[0].astype(jnp.bfloat16)
+    qr = qr_ref[0].astype(jnp.bfloat16)
     kk = k_ref[0].astype(jnp.bfloat16)
     vv = v_ref[0].astype(jnp.bfloat16)
-    pp = p_ref[:].astype(jnp.bfloat16)
+    kpos = kpos_ref[:].astype(jnp.bfloat16)
     g = g_ref[0].astype(jnp.bfloat16)              # (hpp, T, dkp)
 
-    attn = _recompute_attn(qu, qv, kk, pp, bias_ref[0],
+    attn = _recompute_attn(qu, qr, kk, kpos, bias_ref[0],
                            t=t, dk_real=dk_real, left=left, right=right)
     if rate > 0.0:
-        # same per-program seed as the forward: grid here is (j, i) while the
-        # forward's is (i, j) — recover the forward's linear program index
-        prog = pl.program_id(1) * pl.num_programs(0) + pl.program_id(0)
+        prog = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
         keep = _dropout_mask(seed_ref[0, 0] + prog, attn.shape, rate,
                              interpret)
         attn_d = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
@@ -198,69 +200,50 @@ def _attn_bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref,
     sdn = (((2,), (1,)), ((0,), (0,)))             # ds (h,t,s) @ k (h,s,d)
     dqu_ref[0] = jax.lax.dot_general(
         ds16, kk, sdn, preferred_element_type=jnp.float32).astype(dqu_ref.dtype)
+    # dqr[h,t,D] = sum_s ds[h,t,s] kpos[s,D]
+    qdn = (((2,), (0,)), ((), ()))
+    dqr_ref[0] = jax.lax.dot_general(
+        ds16, kpos, qdn, preferred_element_type=jnp.float32).astype(dqr_ref.dtype)
     # dk[h,s,d] = sum_t ds[h,t,s] qu[h,t,d]
     dk_ref[0] = jax.lax.dot_general(
         ds16, qu, tdn, preferred_element_type=jnp.float32).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
-    # position-score grads: scatter ds back onto the (T, 2T) grid
-    dqp2 = jnp.pad(ds, ((0, 0), (0, 0), (0, t)))   # (hpp, T, 2T)
-    dqp2 = _butterfly_right(dqp2, t)
-    dqp16 = dqp2.astype(jnp.bfloat16)
-    # dqv[h,t,d] = sum_j dqp2[h,t,j] p[h,j,d]
-    jdn = (((2,), (1,)), ((0,), (0,)))
-    dqv_ref[0] = jax.lax.dot_general(
-        dqp16, pp, jdn, preferred_element_type=jnp.float32).astype(dqv_ref.dtype)
-    # dp[h,j,d] = sum_b sum_t dqp2[h,t,j] qv[h,t,d] — accumulate over batch
-    dp_cur = jax.lax.dot_general(
-        dqp16, qv, tdn, preferred_element_type=jnp.float32)
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        dp_ref[:] = dp_cur.astype(dp_ref.dtype)
-
-    @pl.when(pl.program_id(1) != 0)
-    def _():
-        dp_ref[:] = dp_ref[:] + dp_cur.astype(dp_ref.dtype)
-
-
-def _pick_hpp(h, tp, dkp, n_bufs_tt, n_bufs_t2t):
+def _pick_hpp(h, tp, dp, dkp, n_tt, n_tdk, n_tdp):
     """Heads per program, bounded by a ~10 MB VMEM working-set budget."""
     hpp = h
-    while hpp > 1 and hpp * (n_bufs_t2t * tp * 2 * tp +
-                             n_bufs_tt * tp * tp +
-                             6 * tp * dkp) * 4 > 10 * 2 ** 20:
+    while hpp > 1 and hpp * (n_tt * tp * tp + n_tdk * tp * dkp +
+                             n_tdp * tp * dp) * 4 > 10 * 2 ** 20:
         hpp //= 2
     while h % hpp:
         hpp -= 1
     return hpp
 
 
-def _pad_operands(q_u, q_v, k, v, p, key_bias):
+def _pad_operands(q_u, q_r, k, v, kpos, key_bias):
     b, h, t, dk = q_u.shape
+    d = q_r.shape[-1]
     tp = _round_up(t, LANE)
     dkp = _round_up(dk, LANE)
+    dp = _round_up(d, LANE)
 
-    def pad_qkv(x):
-        return jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, dkp - dk)))
-
-    q_u_p, q_v_p, k_p, v_p = (pad_qkv(x) for x in (q_u, q_v, k, v))
-    # p rows i cover rel = t-1-i; re-center into 2*tp rows (rel = tp-1-j)
-    p_p = jnp.zeros((2 * tp, h, dkp), p.dtype)
-    p_p = jax.lax.dynamic_update_slice(
-        p_p, jnp.pad(p, ((0, 0), (0, 0), (0, dkp - dk))), (tp - t, 0, 0))
-    p_p = jnp.transpose(p_p, (1, 0, 2))            # (H, 2tp, dkp)
+    pad_qkv = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, tp - t),
+                                    (0, dkp - dk)))
+    q_u_p, k_p, v_p = (pad_qkv(x) for x in (q_u, k, v))
+    q_r_p = jnp.pad(q_r, ((0, 0), (0, 0), (0, tp - t), (0, dp - d)))
+    kpos_p = jnp.pad(kpos, ((0, tp - t), (0, dp - d)))
     bias = jnp.pad(key_bias, ((0, 0), (0, tp - t)), constant_values=-1e30)
     bias = bias[:, None, None, :]                  # (B, 1, 1, tp)
-    return q_u_p, q_v_p, k_p, v_p, p_p, bias, tp, dkp
+    return q_u_p, q_r_p, k_p, v_p, kpos_p, bias, tp, dkp, dp
 
 
-def _pallas_attention(q_u, q_v, k, v, p, key_bias, seed, att_context_size,
+def _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed, att_context_size,
                       dropout_rate, interpret):
     b, h, t, dk = q_u.shape
-    q_u_p, q_v_p, k_p, v_p, p_p, bias, tp, dkp = _pad_operands(
-        q_u, q_v, k, v, p, key_bias)
-    hpp = _pick_hpp(h, tp, dkp, n_bufs_tt=1, n_bufs_t2t=2)
+    q_u_p, q_r_p, k_p, v_p, kpos_p, bias, tp, dkp, dp = _pad_operands(
+        q_u, q_r, k, v, kpos, key_bias)
+    hpp = _pick_hpp(h, tp, dp, dkp, n_tt=2, n_tdk=4, n_tdp=1)
     n_hgroups = h // hpp
 
     kernel = functools.partial(_attn_fwd_kernel, t=tp, dk_real=dk,
@@ -269,14 +252,16 @@ def _pallas_attention(q_u, q_v, k, v, p, key_bias, seed, att_context_size,
                                rate=dropout_rate, interpret=interpret)
     qkv_spec = pl.BlockSpec((1, hpp, tp, dkp), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
+    qr_spec = pl.BlockSpec((1, hpp, tp, dp), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_hgroups),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            qkv_spec, qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((hpp, 2 * tp, dkp), lambda i, j: (j, 0, 0),
+            qkv_spec, qr_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((tp, dp), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, tp), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -285,92 +270,86 @@ def _pallas_attention(q_u, q_v, k, v, p, key_bias, seed, att_context_size,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, tp, dkp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * tp * dkp * (tp + 2 * tp + tp),
-            bytes_accessed=4 * b * h * tp * dkp * 5,
+            flops=2 * b * h * tp * (tp * dkp * 2 + tp * dp),
+            bytes_accessed=4 * b * h * tp * (dkp * 5 + dp),
             transcendentals=b * h * tp * tp,
         ),
         interpret=interpret,
-    )(seed, q_u_p, q_v_p, k_p, v_p, p_p, bias)
+    )(seed, q_u_p, q_r_p, k_p, v_p, kpos_p, bias)
     return out[:, :, :t, :dk]
 
 
-def _pallas_attention_bwd(q_u, q_v, k, v, p, key_bias, seed, g,
+def _pallas_attention_bwd(q_u, q_r, k, v, kpos, key_bias, seed, g,
                           att_context_size, dropout_rate, interpret):
     b, h, t, dk = q_u.shape
-    q_u_p, q_v_p, k_p, v_p, p_p, bias, tp, dkp = _pad_operands(
-        q_u, q_v, k, v, p, key_bias)
+    d = q_r.shape[-1]
+    q_u_p, q_r_p, k_p, v_p, kpos_p, bias, tp, dkp, dp = _pad_operands(
+        q_u, q_r, k, v, kpos, key_bias)
     g_p = jnp.pad(g.astype(jnp.float32),
                   ((0, 0), (0, 0), (0, tp - t), (0, dkp - dk)))
-    hpp = _pick_hpp(h, tp, dkp, n_bufs_tt=3, n_bufs_t2t=3)
+    hpp = _pick_hpp(h, tp, dp, dkp, n_tt=3, n_tdk=7, n_tdp=2)
     n_hgroups = h // hpp
 
     kernel = functools.partial(_attn_bwd_kernel, t=tp, dk_real=dk,
                                left=att_context_size[0],
                                right=att_context_size[1], hpp=hpp,
-                               rate=dropout_rate, n_hgroups=n_hgroups,
-                               interpret=interpret)
-    # batch INNERMOST (grid = (hgroup, batch)) so dp accumulates in-place
-    qkv_spec = pl.BlockSpec((1, hpp, tp, dkp), lambda j, i: (i, j, 0, 0),
+                               rate=dropout_rate, interpret=interpret)
+    qkv_spec = pl.BlockSpec((1, hpp, tp, dkp), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    dqkv_spec = pl.BlockSpec((1, hpp, tp, dkp), lambda j, i: (i, j, 0, 0),
-                             memory_space=pltpu.VMEM)
+    qr_spec = pl.BlockSpec((1, hpp, tp, dp), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
     d_shape = jax.ShapeDtypeStruct((b, h, tp, dkp), jnp.float32)
-    dq_u, dq_v, dk_, dv, dp = pl.pallas_call(
+    dq_u, dq_r, dk_, dv = pl.pallas_call(
         kernel,
-        grid=(n_hgroups, b),
+        grid=(b, n_hgroups),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            qkv_spec, qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((hpp, 2 * tp, dkp), lambda j, i: (j, 0, 0),
+            qkv_spec, qr_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((tp, dp), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, tp), lambda j, i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, tp), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             qkv_spec,
         ],
-        out_specs=(dqkv_spec, dqkv_spec, dqkv_spec, dqkv_spec,
-                   pl.BlockSpec((hpp, 2 * tp, dkp), lambda j, i: (j, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(d_shape, d_shape, d_shape, d_shape,
-                   jax.ShapeDtypeStruct((h, 2 * tp, dkp), jnp.float32)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        out_specs=(qkv_spec, qr_spec, qkv_spec, qkv_spec),
+        out_shape=(d_shape,
+                   jax.ShapeDtypeStruct((b, h, tp, dp), jnp.float32),
+                   d_shape, d_shape),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * tp * dkp * (tp * 4 + 2 * tp * 3),
-            bytes_accessed=4 * b * h * tp * dkp * 10,
+            flops=2 * b * h * tp * (tp * dkp * 5 + tp * dp * 2),
+            bytes_accessed=4 * b * h * tp * (dkp * 8 + dp * 2),
             transcendentals=b * h * tp * tp,
         ),
         interpret=interpret,
-    )(seed, q_u_p, q_v_p, k_p, v_p, p_p, bias, g_p)
+    )(seed, q_u_p, q_r_p, k_p, v_p, kpos_p, bias, g_p)
 
     crop = lambda x: x[:, :, :t, :dk]
-    # un-center dp back to the (2t-1, h, dk) layout of the projected pos input
-    dp = jnp.transpose(dp, (1, 0, 2))[tp - t: tp + t - 1, :, :dk]
-    return crop(dq_u), crop(dq_v), crop(dk_), crop(dv), dp
+    return crop(dq_u), dq_r[:, :, :t, :d], crop(dk_), crop(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _fused_attention_core(q_u, q_v, k, v, p, key_bias, seed,
+def _fused_attention_core(q_u, q_r, k, v, kpos, key_bias, seed,
                           att_context_size, dropout_rate, interpret):
-    return _pallas_attention(q_u, q_v, k, v, p, key_bias, seed,
+    return _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed,
                              att_context_size, dropout_rate, interpret)
 
 
-def _core_fwd(q_u, q_v, k, v, p, key_bias, seed, att_context_size,
+def _core_fwd(q_u, q_r, k, v, kpos, key_bias, seed, att_context_size,
               dropout_rate, interpret):
-    out = _pallas_attention(q_u, q_v, k, v, p, key_bias, seed,
+    out = _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed,
                             att_context_size, dropout_rate, interpret)
-    return out, (q_u, q_v, k, v, p, key_bias, seed)
+    return out, (q_u, q_r, k, v, kpos, key_bias, seed)
 
 
 def _core_bwd(att_context_size, dropout_rate, interpret, res, g):
-    q_u, q_v, k, v, p, key_bias, seed = res
-    dq_u, dq_v, dk_, dv, dp = _pallas_attention_bwd(
-        q_u, q_v, k, v, p, key_bias, seed, g, att_context_size,
+    q_u, q_r, k, v, kpos, key_bias, seed = res
+    dq_u, dq_r, dk_, dv = _pallas_attention_bwd(
+        q_u, q_r, k, v, kpos, key_bias, seed, g, att_context_size,
         dropout_rate, interpret)
-    return (dq_u.astype(q_u.dtype), dq_v.astype(q_v.dtype),
-            dk_.astype(k.dtype), dv.astype(v.dtype), dp.astype(p.dtype),
-            jnp.zeros_like(key_bias),
+    return (dq_u.astype(q_u.dtype), dq_r.astype(q_r.dtype),
+            dk_.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(kpos), jnp.zeros_like(key_bias),
             np.zeros(seed.shape, jax.dtypes.float0))
 
 
@@ -382,26 +361,42 @@ def fused_relpos_attention(
     q_v: jnp.ndarray,            # (B, H, T, dk)  q + pos_bias_v
     k: jnp.ndarray,              # (B, H, T, dk)
     v: jnp.ndarray,              # (B, H, T, dk)
-    p: jnp.ndarray,              # (2T-1, H, dk)  projected rel pos embeddings
+    pos_kernel: jnp.ndarray,     # (D, H, dk)  linear_pos weight, per head
     mask: jnp.ndarray,           # (B, T) bool, True = valid key
     att_context_size: Tuple[int, int] = (-1, -1),
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,   # int32, any shape; scalar used
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns (B, H, T, dk) context, fp32. Pads T to a lane multiple and dk
-    to 128 internally; padded keys are masked, padded query rows are garbage
+    """Returns (B, H, T, dk) context, fp32. Pads T/dk/D to lane multiples
+    internally; padded keys are masked, padded query rows are garbage
     (callers re-mask padded positions, as the conformer layer does).
 
+    The position scores use the rotation factorization (module docstring):
+    q_v is projected by `pos_kernel` (the linear_pos weight reshaped per
+    head), rotated by the per-frame angle tables, and contracted against the
+    constant [cos | sin] key table inside the kernel. Gradients to q_v and
+    pos_kernel flow through this plain-JAX projection; the kernel's custom
+    VJP supplies d(rotated query).
+
     dropout_rate > 0 applies attention-probability dropout with the in-kernel
-    PRNG (requires dropout_seed); gradients flow through a fused Pallas
-    backward kernel that regenerates the identical mask."""
+    PRNG (requires dropout_seed); the backward kernel regenerates the
+    identical mask."""
+    b, h, t, dk = q_u.shape
+    d_model = pos_kernel.shape[0]
+    sin_t, cos_t, kpos = position_tables(t, d_model)
+    # qW[b,h,t,D] = sum_dk q_v[b,h,t,dk] pos_kernel[D,h,dk], then rotate
+    qw = jnp.einsum("bhtd,Dhd->bhtD", q_v, pos_kernel.astype(q_v.dtype),
+                    preferred_element_type=jnp.float32)
+    q_r = rotate_pos_query(qw.astype(jnp.float32), sin_t, cos_t)
+    q_r = q_r.astype(q_v.dtype)
+
     key_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
     if dropout_seed is None:
         seed = jnp.zeros((1, 1), jnp.int32)
     else:
         seed = jnp.reshape(dropout_seed.astype(jnp.int32), (-1,))[:1]
         seed = jnp.reshape(seed, (1, 1))
-    return _fused_attention_core(q_u, q_v, k, v, p, key_bias, seed,
-                                 tuple(att_context_size), float(dropout_rate),
-                                 interpret)
+    return _fused_attention_core(q_u, q_r, k, v, kpos.astype(q_v.dtype),
+                                 key_bias, seed, tuple(att_context_size),
+                                 float(dropout_rate), interpret)
