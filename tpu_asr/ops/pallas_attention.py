@@ -105,32 +105,39 @@ def _recompute_attn(qu, qr, kk, kpos, bias, *, t, dk_real, left, right):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _dropout_mask(seed, shape, rate, interpret=False):
-    """Deterministic keep-mask from the Mosaic hardware PRNG; identical bits
-    are regenerated in the backward kernel from the same seed.
+def _dropout_keep(seed_base, hpp, shape2d, rate, interpret=False):
+    """(hpp, t, t) keep-mask, one PRNG stream PER GLOBAL HEAD.
+
+    `seed_base` is the seed of this program's first head; head l uses
+    seed_base + l. Keying the stream on (batch-row seed, global head) — never
+    on program ids — makes the bits invariant to the head-group size (fwd and
+    bwd may pick different hpp) and to batch sharding under GSPMD
+    (parallel/kernel_sharding.py contract). The backward regenerates
+    identical bits from the same residual seeds.
 
     Interpret mode (CPU tests) lacks the prng_* primitives; a counter-based
     murmur3-finalizer hash stands in — same determinism property, so the
     fwd/bwd mask-consistency contract is exercised on CPU too."""
-    if not interpret:
-        pltpu.prng_seed(seed)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    else:
-        idx = jnp.zeros(shape, jnp.uint32)
-        stride = 1
-        for d in reversed(range(len(shape))):
-            idx = idx + jax.lax.broadcasted_iota(
-                jnp.uint32, shape, d) * jnp.uint32(stride)
-            stride *= shape[d]
-        x = idx * jnp.uint32(2654435761) + seed.astype(jnp.uint32) * \
-            jnp.uint32(0x9E3779B9)
-        x = x ^ (x >> 16)
-        x = x * jnp.uint32(0x85EBCA6B)
-        x = x ^ (x >> 13)
-        x = x * jnp.uint32(0xC2B2AE35)
-        bits = x ^ (x >> 16)
     thresh = np.uint32(min(int(rate * 4294967296.0), 4294967295))
-    return bits >= thresh
+    keeps = []
+    for l in range(hpp):
+        s = seed_base + l
+        if not interpret:
+            pltpu.prng_seed(s)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape2d), jnp.uint32)
+        else:
+            idx = (jax.lax.broadcasted_iota(jnp.uint32, shape2d, 0)
+                   * jnp.uint32(shape2d[1])
+                   + jax.lax.broadcasted_iota(jnp.uint32, shape2d, 1))
+            x = idx * jnp.uint32(2654435761) + s.astype(jnp.uint32) * \
+                jnp.uint32(0x9E3779B9)
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x85EBCA6B)
+            x = x ^ (x >> 13)
+            x = x * jnp.uint32(0xC2B2AE35)
+            bits = x ^ (x >> 16)
+        keeps.append(bits >= thresh)
+    return jnp.stack(keeps)
 
 
 def _attn_fwd_kernel(seed_ref, qu_ref, qr_ref, k_ref, v_ref, kpos_ref,
@@ -149,9 +156,8 @@ def _attn_fwd_kernel(seed_ref, qu_ref, qr_ref, k_ref, v_ref, kpos_ref,
     attn = _recompute_attn(qu, qr, kk, kpos, bias_ref[0],
                            t=t, dk_real=dk_real, left=left, right=right)
     if rate > 0.0:
-        prog = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-        keep = _dropout_mask(seed_ref[0, 0] + prog, attn.shape, rate,
-                             interpret)
+        seed_base = seed_ref[pl.program_id(0), 0] + pl.program_id(1) * hpp
+        keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
         attn = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
 
     adn = (((2,), (1,)), ((0,), (0,)))             # attn (h,t,s) @ v (h,s,d)
@@ -175,9 +181,8 @@ def _attn_bwd_kernel(seed_ref, qu_ref, qr_ref, k_ref, v_ref, kpos_ref,
     attn = _recompute_attn(qu, qr, kk, kpos, bias_ref[0],
                            t=t, dk_real=dk_real, left=left, right=right)
     if rate > 0.0:
-        prog = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-        keep = _dropout_mask(seed_ref[0, 0] + prog, attn.shape, rate,
-                             interpret)
+        seed_base = seed_ref[pl.program_id(0), 0] + pl.program_id(1) * hpp
+        keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
         attn_d = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
     else:
         attn_d = attn
@@ -238,8 +243,8 @@ def _pad_operands(q_u, q_r, k, v, kpos, key_bias):
     return q_u_p, q_r_p, k_p, v_p, kpos_p, bias, tp, dkp, dp
 
 
-def _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed, att_context_size,
-                      dropout_rate, interpret):
+def _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed_rows,
+                      att_context_size, dropout_rate, interpret):
     b, h, t, dk = q_u.shape
     q_u_p, q_r_p, k_p, v_p, kpos_p, bias, tp, dkp, dp = _pad_operands(
         q_u, q_r, k, v, kpos, key_bias)
@@ -258,7 +263,9 @@ def _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed, att_context_size,
         kernel,
         grid=(b, n_hgroups),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+            # whole seed column in SMEM (Mosaic: block == array dims);
+            # the kernel indexes its batch row by program id
+            pl.BlockSpec((b, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             qkv_spec, qr_spec, qkv_spec, qkv_spec,
             pl.BlockSpec((tp, dp), lambda i, j: (0, 0),
@@ -268,15 +275,49 @@ def _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed, att_context_size,
         ],
         out_specs=pl.BlockSpec((1, hpp, tp, dkp), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, tp, dkp), jnp.float32),
+        # context in the input dtype (bf16 on the compute path): the caller
+        # casts to the compute dtype anyway, so an fp32 round trip through
+        # HBM would be pure traffic
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, dkp), q_u.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * tp * (tp * dkp * 2 + tp * dp),
             bytes_accessed=4 * b * h * tp * (dkp * 5 + dp),
             transcendentals=b * h * tp * tp,
         ),
         interpret=interpret,
-    )(seed, q_u_p, q_r_p, k_p, v_p, kpos_p, bias)
+    )(seed_rows, q_u_p, q_r_p, k_p, v_p, kpos_p, bias)
     return out[:, :, :t, :dk]
+
+
+# GSPMD partition rules (parallel/kernel_sharding.py): batch dim 0 stays
+# sharded, everything else replicates; one wrapper per static config.
+# Order: q_u, q_r, k, v, kpos (replicated), key_bias (B,T), seed_rows (B,1).
+_ATTN_FWD_ARGS = ((4, 0), (4, 0), (4, 0), (4, 0), (2, None), (2, 0), (2, 0))
+_ATTN_BWD_ARGS = _ATTN_FWD_ARGS + ((4, 0),)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(att_context_size, dropout_rate, interpret):
+    from tpu_asr.parallel.kernel_sharding import batch_partitioned
+
+    def fun(q_u, q_r, k, v, kpos, key_bias, seed_rows):
+        return _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed_rows,
+                                 att_context_size, dropout_rate, interpret)
+
+    return batch_partitioned(fun, _ATTN_FWD_ARGS, ((4, 0),), tuple_out=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(att_context_size, dropout_rate, interpret):
+    from tpu_asr.parallel.kernel_sharding import batch_partitioned
+
+    def fun(q_u, q_r, k, v, kpos, key_bias, seed_rows, g):
+        return _pallas_attention_bwd(q_u, q_r, k, v, kpos, key_bias,
+                                     seed_rows, g, att_context_size,
+                                     dropout_rate, interpret)
+
+    return batch_partitioned(fun, _ATTN_BWD_ARGS,
+                             ((4, 0), (4, 0), (4, 0), (4, 0)), tuple_out=True)
 
 
 def _pallas_attention_bwd(q_u, q_r, k, v, kpos, key_bias, seed, g,
@@ -285,7 +326,7 @@ def _pallas_attention_bwd(q_u, q_r, k, v, kpos, key_bias, seed, g,
     d = q_r.shape[-1]
     q_u_p, q_r_p, k_p, v_p, kpos_p, bias, tp, dkp, dp = _pad_operands(
         q_u, q_r, k, v, kpos, key_bias)
-    g_p = jnp.pad(g.astype(jnp.float32),
+    g_p = jnp.pad(g.astype(q_u.dtype),
                   ((0, 0), (0, 0), (0, tp - t), (0, dkp - dk)))
     hpp = _pick_hpp(h, tp, dp, dkp, n_tt=3, n_tdk=7, n_tdp=2)
     n_hgroups = h // hpp
@@ -298,12 +339,16 @@ def _pallas_attention_bwd(q_u, q_r, k, v, kpos, key_bias, seed, g,
                             memory_space=pltpu.VMEM)
     qr_spec = pl.BlockSpec((1, hpp, tp, dp), lambda i, j: (i, j, 0, 0),
                            memory_space=pltpu.VMEM)
-    d_shape = jax.ShapeDtypeStruct((b, h, tp, dkp), jnp.float32)
+    # grads in the residual dtype (bf16 on the compute path): the custom VJP
+    # casts them to the input dtypes anyway — fp32 here is pure HBM traffic
+    d_shape = jax.ShapeDtypeStruct((b, h, tp, dkp), q_u.dtype)
     dq_u, dq_r, dk_, dv = pl.pallas_call(
         kernel,
         grid=(b, n_hgroups),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+            # whole seed column in SMEM (Mosaic: block == array dims);
+            # the kernel indexes its batch row by program id
+            pl.BlockSpec((b, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             qkv_spec, qr_spec, qkv_spec, qkv_spec,
             pl.BlockSpec((tp, dp), lambda i, j: (0, 0),
@@ -314,7 +359,7 @@ def _pallas_attention_bwd(q_u, q_r, k, v, kpos, key_bias, seed, g,
         ],
         out_specs=(qkv_spec, qr_spec, qkv_spec, qkv_spec),
         out_shape=(d_shape,
-                   jax.ShapeDtypeStruct((b, h, tp, dp), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, tp, dp), q_r.dtype),
                    d_shape, d_shape),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * tp * (tp * dkp * 5 + tp * dp * 2),
@@ -329,28 +374,28 @@ def _pallas_attention_bwd(q_u, q_r, k, v, kpos, key_bias, seed, g,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _fused_attention_core(q_u, q_r, k, v, kpos, key_bias, seed,
+def _fused_attention_core(q_u, q_r, k, v, kpos, key_bias, seed_rows,
                           att_context_size, dropout_rate, interpret):
-    return _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed,
-                             att_context_size, dropout_rate, interpret)
+    return _fwd_partitioned(att_context_size, dropout_rate, interpret)(
+        q_u, q_r, k, v, kpos, key_bias, seed_rows)
 
 
-def _core_fwd(q_u, q_r, k, v, kpos, key_bias, seed, att_context_size,
+def _core_fwd(q_u, q_r, k, v, kpos, key_bias, seed_rows, att_context_size,
               dropout_rate, interpret):
-    out = _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed,
-                            att_context_size, dropout_rate, interpret)
-    return out, (q_u, q_r, k, v, kpos, key_bias, seed)
+    out = _fwd_partitioned(att_context_size, dropout_rate, interpret)(
+        q_u, q_r, k, v, kpos, key_bias, seed_rows)
+    return out, (q_u, q_r, k, v, kpos, key_bias, seed_rows)
 
 
 def _core_bwd(att_context_size, dropout_rate, interpret, res, g):
-    q_u, q_r, k, v, kpos, key_bias, seed = res
-    dq_u, dq_r, dk_, dv = _pallas_attention_bwd(
-        q_u, q_r, k, v, kpos, key_bias, seed, g, att_context_size,
-        dropout_rate, interpret)
+    q_u, q_r, k, v, kpos, key_bias, seed_rows = res
+    dq_u, dq_r, dk_, dv = _bwd_partitioned(
+        att_context_size, dropout_rate, interpret)(
+        q_u, q_r, k, v, kpos, key_bias, seed_rows, g)
     return (dq_u.astype(q_u.dtype), dq_r.astype(q_r.dtype),
             dk_.astype(k.dtype), dv.astype(v.dtype),
             jnp.zeros_like(kpos), jnp.zeros_like(key_bias),
-            np.zeros(seed.shape, jax.dtypes.float0))
+            np.zeros(seed_rows.shape, jax.dtypes.float0))
 
 
 _fused_attention_core.defvjp(_core_fwd, _core_bwd)
@@ -392,11 +437,15 @@ def fused_relpos_attention(
     q_r = q_r.astype(q_v.dtype)
 
     key_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    # per-batch-row seeds: seed_rows[b] = base + b*H; the kernel adds the
+    # GLOBAL head index, so dropout bits are invariant to head-group size and
+    # batch sharding (kernel_sharding.py contract)
     if dropout_seed is None:
-        seed = jnp.zeros((1, 1), jnp.int32)
+        seed_rows = jnp.zeros((b, 1), jnp.int32)
     else:
-        seed = jnp.reshape(dropout_seed.astype(jnp.int32), (-1,))[:1]
-        seed = jnp.reshape(seed, (1, 1))
+        base = jnp.reshape(dropout_seed.astype(jnp.int32), (-1,))[0]
+        seed_rows = (base + jnp.arange(b, dtype=jnp.int32) * h)[:, None]
     return _fused_attention_core(q_u, q_r, k, v, kpos.astype(q_v.dtype),
-                                 key_bias, seed, tuple(att_context_size),
+                                 key_bias, seed_rows,
+                                 tuple(att_context_size),
                                  float(dropout_rate), interpret)

@@ -198,29 +198,71 @@ def ctc_nll_pallas(log_probs, targets, input_lengths, target_lengths,
     return nll
 
 
+# GSPMD partition rules (parallel/kernel_sharding.py): every operand/output
+# is batch-major; shard along batch, replicate nothing else matters.
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(interpret):
+    from tpu_asr.parallel.kernel_sharding import batch_partitioned
+
+    def fun(lp_labels, skip, valid, il, tl):
+        b, t_max, lp_pad = lp_labels.shape
+        bc = _pick_bc(b, t_max, lp_pad, n_cubes=2)
+        row = pl.BlockSpec((bc, lp_pad), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        col = pl.BlockSpec((bc, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        cube = pl.BlockSpec((bc, t_max, lp_pad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_ctc_fwd_kernel, t_max=t_max),
+            grid=(b // bc,),
+            in_specs=[cube, row, row, col, col],
+            out_specs=(cube, col),
+            out_shape=(jax.ShapeDtypeStruct((b, t_max, lp_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((b, 1), jnp.float32)),
+            interpret=interpret,
+        )(lp_labels, skip, valid, il, tl)
+
+    return batch_partitioned(fun, ((3, 0), (2, 0), (2, 0), (2, 0), (2, 0)),
+                             ((3, 0), (2, 0)), tuple_out=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(interpret):
+    from tpu_asr.parallel.kernel_sharding import batch_partitioned
+
+    def fun(lp_labels, skip_from, valid, il, tl, alpha, nll):
+        b, t_max, lp_pad = lp_labels.shape
+        bc = _pick_bc(b, t_max, lp_pad, n_cubes=3)
+        row = pl.BlockSpec((bc, lp_pad), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        col = pl.BlockSpec((bc, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        cube = pl.BlockSpec((bc, t_max, lp_pad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_ctc_bwd_kernel, t_max=t_max),
+            grid=(b // bc,),
+            in_specs=[cube, row, row, col, col, cube, col],
+            out_specs=cube,
+            out_shape=jax.ShapeDtypeStruct((b, t_max, lp_pad), jnp.float32),
+            interpret=interpret,
+        )(lp_labels, skip_from, valid, il, tl, alpha, nll)
+
+    return batch_partitioned(
+        fun, ((3, 0), (2, 0), (2, 0), (2, 0), (2, 0), (3, 0), (2, 0)),
+        ((3, 0),), tuple_out=False)
+
+
 def _ctc_fwd(log_probs, targets, input_lengths, target_lengths, blank,
              interpret):
     b, t_max, v = log_probs.shape
     lp_labels, ext, can_skip, valid, lp_pad = _prep(
         log_probs, targets, input_lengths, target_lengths, blank)
-    bc = _pick_bc(b, t_max, lp_pad, n_cubes=2)
-
-    row = pl.BlockSpec((bc, lp_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((bc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    cube = pl.BlockSpec((bc, t_max, lp_pad), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    alpha, nll = pl.pallas_call(
-        functools.partial(_ctc_fwd_kernel, t_max=t_max),
-        grid=(b // bc,),
-        in_specs=[cube, row, row,
-                  col, col],
-        out_specs=(cube, col),
-        out_shape=(jax.ShapeDtypeStruct((b, t_max, lp_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 1), jnp.float32)),
-        interpret=interpret,
-    )(lp_labels, can_skip.astype(jnp.int32), valid.astype(jnp.int32),
-      input_lengths.astype(jnp.int32)[:, None],
-      target_lengths.astype(jnp.int32)[:, None])
+    alpha, nll = _fwd_partitioned(interpret)(
+        lp_labels, can_skip.astype(jnp.int32), valid.astype(jnp.int32),
+        input_lengths.astype(jnp.int32)[:, None],
+        target_lengths.astype(jnp.int32)[:, None])
     return nll[:, 0], (lp_labels, alpha, nll, ext, can_skip, valid,
                        input_lengths, target_lengths, log_probs.shape, lp_pad)
 
@@ -236,24 +278,12 @@ def _ctc_vjp_bwd(blank, interpret, res, g):
     (lp_labels, alpha, nll, ext, can_skip, valid, input_lengths,
      target_lengths, lp_shape, lp_pad) = res
     b, t_max, v = lp_shape
-    bc = _pick_bc(b, t_max, lp_pad, n_cubes=3)
-
-    row = pl.BlockSpec((bc, lp_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((bc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    cube = pl.BlockSpec((bc, t_max, lp_pad), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
     skip_from = jnp.concatenate(
         [can_skip[:, 2:], jnp.zeros((b, 2), can_skip.dtype)], axis=1)
-    dlp_lab = pl.pallas_call(
-        functools.partial(_ctc_bwd_kernel, t_max=t_max),
-        grid=(b // bc,),
-        in_specs=[cube, row, row, col, col, cube, col],
-        out_specs=cube,
-        out_shape=jax.ShapeDtypeStruct((b, t_max, lp_pad), jnp.float32),
-        interpret=interpret,
-    )(lp_labels, skip_from.astype(jnp.int32), valid.astype(jnp.int32),
-      input_lengths.astype(jnp.int32)[:, None],
-      target_lengths.astype(jnp.int32)[:, None], alpha, nll)
+    dlp_lab = _bwd_partitioned(interpret)(
+        lp_labels, skip_from.astype(jnp.int32), valid.astype(jnp.int32),
+        input_lengths.astype(jnp.int32)[:, None],
+        target_lengths.astype(jnp.int32)[:, None], alpha, nll)
 
     l = ext.shape[1]
     # scatter d(lp_labels) back onto the vocab axis: one-hot MXU einsum
