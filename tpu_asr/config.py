@@ -112,6 +112,9 @@ class EncoderConfig:
     stochastic_depth_start_layer: int = 1
     # 'xla' | 'pallas' | 'auto' (pallas for deterministic passes on TPU)
     attention_backend: str = "auto"
+    # conv-module backend: 'auto' fuses the whole module into one Pallas
+    # kernel for deterministic (inference) passes on TPU (ops/pallas_conv.py)
+    conv_backend: str = "auto"
     # rematerialize each conformer layer in the backward pass
     # (jax.checkpoint): trades ~30% more FLOPs for O(1) activation memory per
     # layer — enables bigger batches / longer audio on a fixed HBM budget
