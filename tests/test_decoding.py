@@ -118,3 +118,56 @@ def test_greedy_timestamps():
     hyp = dec.ctc_decoder_predictions_tensor(
         jnp.asarray(lp2), np.asarray([4]), return_hypotheses=True)[0]
     assert hyp.timestamp == [1]
+
+
+def test_lexicon_constrains_beam():
+    """Lexicon-constrained search (flashlight strategy): the acoustically
+    best token string is off-lexicon; the constrained beam returns the best
+    IN-lexicon string, the unconstrained beam returns the raw one."""
+    from tpu_asr.ops.decoding import Lexicon
+
+    # V=4: tokens {0,1,2}, blank=3. Acoustics prefer [0, 2] but the lexicon
+    # only contains words (0,1) and (2,).
+    probs = np.array([[0.6, 0.25, 0.1, 0.05],
+                      [0.05, 0.1, 0.05, 0.8],
+                      [0.1, 0.25, 0.6, 0.05]], np.float32)
+    lp = np.log(probs + 1e-9)
+    unconstrained = ctc_prefix_beam_search(lp, beam_width=8)
+    assert unconstrained[0].y_sequence == [0, 2]
+
+    lex = Lexicon([[0, 1], [2]])
+    constrained = ctc_prefix_beam_search(lp, beam_width=8, lexicon=lex)
+    # every hypothesis must be a concatenation of lexicon words
+    def in_lex(seq):
+        i = 0
+        while i < len(seq):
+            if seq[i] == 0:
+                if i + 1 >= len(seq) or seq[i + 1] != 1:
+                    return False
+                i += 2
+            elif seq[i] == 2:
+                i += 1
+            else:
+                return False
+        return True
+    assert all(in_lex(h.y_sequence) for h in constrained)
+    assert constrained[0].y_sequence != unconstrained[0].y_sequence
+    # trie chaining: a completed word may start another
+    lex2 = Lexicon([[0], [2]])
+    chained = ctc_prefix_beam_search(lp, beam_width=8, lexicon=lex2)
+    assert chained[0].y_sequence == [0, 2]
+
+
+def test_ctc_decoding_lexicon_words_api():
+    """CTCDecoding(lexicon_words=...) builds the trie via the tokenizer and
+    only emits words from the list."""
+    corpus = ["ab ba aa", "ab aa", "ba ab"]
+    tok = train_bpe(corpus, vocab_size=16)
+    dec = CTCDecoding(tok, strategy="beam", beam_width=8,
+                      lexicon_words=["ab", "ba"])
+    v = tok.vocab_size + 1                      # + blank
+    rng = np.random.default_rng(0)
+    lp = _logsm(rng.normal(size=(2, 12, v)).astype(np.float32))
+    texts = dec.ctc_decoder_predictions_tensor(lp, np.asarray([12, 12]))
+    for s in texts:
+        assert all(w in ("ab", "ba") for w in s.split()), s

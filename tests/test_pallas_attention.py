@@ -145,9 +145,11 @@ def test_fused_attention_dropout_deterministic_and_scaled():
 
 
 def _host_hash_keep(shape, seed, rate):
-    """The interpret-mode murmur3 keep-mask, recomputed on the host."""
-    idx = np.arange(np.prod(shape), dtype=np.uint32).reshape(shape)
-    x = idx * np.uint32(2654435761) + np.uint32(seed) * np.uint32(0x9E3779B9)
+    """The interpret-mode murmur3 keep-mask, recomputed on the host.
+    uint32 wraparound is the hash's intent — compute via masked uint64."""
+    idx = np.arange(np.prod(shape), dtype=np.uint64).reshape(shape)
+    x = ((idx * 2654435761 + (seed * 0x9E3779B9) % (1 << 32))
+         & 0xFFFFFFFF).astype(np.uint32)
     x ^= x >> np.uint32(16)
     x = x * np.uint32(0x85EBCA6B)
     x ^= x >> np.uint32(13)

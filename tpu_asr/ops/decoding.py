@@ -41,6 +41,50 @@ def _logsumexp(*xs: float) -> float:
     return m + math.log(sum(math.exp(x - m) for x in xs))
 
 
+class Lexicon:
+    """Token-id trie over an allowed word list — the flashlight/pyctcdecode
+    lexicon-constrained strategy (SURVEY.md N10 beam externals): beam
+    extensions must stay on a trie path; a completed word may chain into the
+    next word from the root.
+
+    Build from word token-id sequences (each word tokenized STANDALONE so a
+    BPE/SPM first piece carries its word-boundary marker):
+    `Lexicon(tokenizer.text_to_ids(w) for w in words)`."""
+
+    _ROOT = 0
+
+    def __init__(self, word_id_seqs):
+        self._children: List[dict] = [{}]
+        self._terminal: List[bool] = [False]
+        for seq in word_id_seqs:
+            node = self._ROOT
+            for tok in seq:
+                nxt = self._children[node].get(tok)
+                if nxt is None:
+                    nxt = len(self._children)
+                    self._children.append({})
+                    self._terminal.append(False)
+                    self._children[node][tok] = nxt
+                node = nxt
+            self._terminal[node] = True
+
+    def start(self) -> int:
+        return self._ROOT
+
+    def step(self, state: int, token: int) -> Optional[int]:
+        """Next trie state after emitting `token`, or None (prune). A
+        terminal state may restart from the root (next word)."""
+        nxt = self._children[state].get(token)
+        if nxt is not None:
+            return nxt
+        if self._terminal[state]:
+            return self._children[self._ROOT].get(token)
+        return None
+
+    def is_terminal(self, state: int) -> bool:
+        return self._terminal[state]
+
+
 def ctc_prefix_beam_search(
     log_probs: np.ndarray,          # (T, V) log-softmax; blank = V-1
     seq_len: Optional[int] = None,
@@ -49,14 +93,17 @@ def ctc_prefix_beam_search(
     lm_score_fn: Optional[Callable[[Tuple[int, ...], int], float]] = None,
     lm_weight: float = 0.0,
     word_bonus: float = 0.0,
+    lexicon: Optional[Lexicon] = None,
 ) -> List[Hypothesis]:
     """Single-utterance prefix beam search. Returns hypotheses sorted by
-    total log-probability (best first)."""
+    total log-probability (best first). With `lexicon`, extensions that
+    leave the word trie are pruned (flashlight-style constrained search)."""
     t_max, v = log_probs.shape
     if blank is None:
         blank = v - 1
     if seq_len is not None:
         t_max = min(t_max, int(seq_len))
+    states: dict = {(): lexicon.start()} if lexicon is not None else {}
 
     # prefix -> (log p ending in blank, log p ending in non-blank)
     beams = {(): (0.0, NEG_INF)}
@@ -84,24 +131,34 @@ def ctc_prefix_beam_search(
                     # repeat: extends the non-blank path of the same prefix,
                     # or starts a new symbol after a blank
                     add(prefix, NEG_INF, p_nb + p_c)
-                    new_prefix = prefix + (c,)
                     ext = p_b + p_c
-                    if lm_score_fn is not None:
-                        ext += lm_weight * lm_score_fn(prefix, c)
-                    add(new_prefix, NEG_INF, ext + word_bonus)
                 else:
-                    new_prefix = prefix + (c,)
                     ext = p_tot + p_c
-                    if lm_score_fn is not None:
-                        ext += lm_weight * lm_score_fn(prefix, c)
-                    add(new_prefix, NEG_INF, ext + word_bonus)
+                new_prefix = prefix + (c,)
+                if lexicon is not None and new_prefix not in states:
+                    nxt_state = lexicon.step(states[prefix], c)
+                    if nxt_state is None:
+                        continue                       # off-lexicon: prune
+                    states[new_prefix] = nxt_state
+                if lm_score_fn is not None:
+                    ext += lm_weight * lm_score_fn(prefix, c)
+                add(new_prefix, NEG_INF, ext + word_bonus)
 
         ranked = sorted(next_beams.items(),
                         key=lambda kv: _logsumexp(*kv[1]), reverse=True)
         beams = dict(ranked[:beam_width])
+        if lexicon is not None:
+            states = {p: states[p] for p in beams}
 
+    items = beams.items()
+    if lexicon is not None:
+        # final hypotheses must end on a COMPLETE word (or be empty);
+        # mid-word prefixes were only legal as in-flight beams
+        done = [(p, s) for p, s in items
+                if not p or lexicon.is_terminal(states[p])]
+        items = done or items
     hyps = [Hypothesis(score=_logsumexp(*pbs), y_sequence=list(prefix))
-            for prefix, pbs in beams.items()]
+            for prefix, pbs in items]
     hyps.sort(key=lambda h: h.score, reverse=True)
     return hyps
 
@@ -115,14 +172,20 @@ class CTCDecoding:
     def __init__(self, tokenizer, strategy: str = "greedy",
                  beam_width: int = 16, lm_score_fn=None, lm_weight: float = 0.0,
                  word_bonus: float = 0.0, compute_timestamps: bool = False,
-                 ngram_lm=None):
+                 ngram_lm=None, lexicon_words=None):
         """ngram_lm: an ops.ngram_lm.NgramLM (or path to an ARPA file) used as
-        the beam-search LM — the KenLM/pyctcdecode strategy equivalent."""
+        the beam-search LM — the KenLM/pyctcdecode strategy equivalent.
+        lexicon_words: iterable of allowed words; beams are constrained to
+        their token-trie (the flashlight lexicon strategy)."""
         if strategy not in ("greedy", "greedy_batch", "beam"):
             raise ValueError(f"unknown decoding strategy: {strategy}")
         self.tokenizer = tokenizer
         self.strategy = strategy
         self.beam_width = beam_width
+        self.lexicon = None
+        if lexicon_words is not None:
+            self.lexicon = Lexicon(
+                tokenizer.text_to_ids(w) for w in lexicon_words)
         if ngram_lm is not None and lm_score_fn is None:
             from tpu_asr.ops.ngram_lm import NgramLM
             if isinstance(ngram_lm, str):
@@ -170,7 +233,7 @@ class CTCDecoding:
             hyps = [ctc_prefix_beam_search(
                 lp[i], int(lens[i]), self.beam_width,
                 lm_score_fn=self.lm_score_fn, lm_weight=self.lm_weight,
-                word_bonus=self.word_bonus)[0]
+                word_bonus=self.word_bonus, lexicon=self.lexicon)[0]
                 for i in range(lp.shape[0])]
         for h in hyps:
             h.text = self.decode_tokens_to_str(h.y_sequence)
