@@ -228,6 +228,16 @@ class RelPositionMultiHeadAttention(nn.Module):
                                     self.global_tokens == 0 and
                                     jax.default_backend() == "tpu") else "xla")
         if backend == "pallas":
+            # The fused kernel implements ONLY the 'regular' (sliding-window)
+            # attention semantics; chunked_limited and longformer global
+            # tokens silently diverge — refuse rather than mis-attend.
+            if self.att_context_style != "regular" or self.global_tokens > 0:
+                raise ValueError(
+                    "attention_backend='pallas' supports only "
+                    "att_context_style='regular' with global_tokens=0 "
+                    f"(got style={self.att_context_style!r}, "
+                    f"global_tokens={self.global_tokens}); use "
+                    "attention_backend='xla' for chunked/global attention")
             from tpu_asr.ops.pallas_attention import fused_relpos_attention
             rate, seed = 0.0, None
             if not deterministic and self.dropout_rate > 0.0:

@@ -141,6 +141,14 @@ class CacheAwareStreamer:
         mel_chunk: (B, F, chunk_size) — pad the final short chunk with zeros
         and pass the true frame count in chunk_len.
         Returns (log_probs (B, valid_out_len, V+1), enc_len (B,), new_state).
+
+        CONTRACT: a short chunk (chunk_len < chunk_size) must be the LAST
+        chunk of its stream. The caches roll by the static chunk_size, so
+        after a partial chunk the pad positions sit at the cache tail where
+        the right-aligned validity mask marks them valid — any subsequent
+        step would attend to garbage and mask real context. For batched
+        streams of unequal length, pad the short streams' audio and stop
+        consuming their outputs, rather than feeding per-stream short chunks.
         """
         cache, feat_tail = state
         sc = self.stream_cfg

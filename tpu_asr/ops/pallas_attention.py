@@ -413,7 +413,8 @@ def fused_relpos_attention(
     dropout_seed: Optional[jnp.ndarray] = None,   # int32, any shape; scalar used
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns (B, H, T, dk) context, fp32. Pads T/dk/D to lane multiples
+    """Returns (B, H, T, dk) context in the input dtype (bf16 on the compute
+    path; accumulation is fp32 in-kernel). Pads T/dk/D to lane multiples
     internally; padded keys are masked, padded query rows are garbage
     (callers re-mask padded positions, as the conformer layer does).
 

@@ -185,7 +185,17 @@ def _pick_bc(b, t_max, lp_pad, n_cubes):
     for bc in sorted(cands, reverse=True):
         if 2 * n_cubes * bc * t_max * lp_pad * 4 <= 14 * 2 ** 20:
             return bc
-    return min(cands)
+    # No divisor chunk fits the VMEM budget (e.g. b=12 has no 8-multiple
+    # divisor, so the only candidate is b itself). Fail with an actionable
+    # message instead of a Mosaic compile error deep in pallas_call.
+    smallest = min(cands)
+    need = 2 * n_cubes * smallest * t_max * lp_pad * 4
+    raise ValueError(
+        f"Pallas CTC lattice does not fit VMEM: batch={b} (smallest legal "
+        f"row chunk {smallest}), T={t_max}, 2S+1 padded={lp_pad} needs "
+        f"{need / 2**20:.1f} MB > 14 MB budget. Pad the local batch to a "
+        "multiple of 8 (so smaller row chunks are legal), shorten the "
+        "sequences, or use the scan CTC (ops/ctc.py).")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

