@@ -7,12 +7,14 @@ Format dispatch by magic bytes, mirroring what libsndfile gave the reference:
 - FLAC: full bitstream decoder — native C fast path (native/flacio.c), pure
   Python oracle/fallback (tpu_asr/data/flac.py). LibriSpeech ships .flac
   (librispeech_asr.py:264-300; soundfile use at asr_train.py:14,141);
-- NIST SPHERE (.sph): PCM16 reader (TED-LIUM corpora, tedlium_asr.py).
+- NIST SPHERE (.sph): PCM16 reader (TED-LIUM corpora, tedlium_asr.py);
+- MP3 (CommonVoice clips, asr_inference_CV.py:218): libmpg123 via ctypes
+  (tpu_asr/data/codecs.py);
+- Ogg/Opus (GigaSpeech audio, gigaspeech.py:124-165): libopus + pure-Python
+  Ogg demux (tpu_asr/data/codecs.py).
 
 All decode to mono float32 (channel mean) + polyphase resampling to the model
 sample rate (scipy). PCM16 writer for tmp-wav fallbacks (asr_train.py:129-142).
-MP3/Opus decode requires codecs the image lacks — those raise a clear error
-and are gated at the manifest layer.
 """
 
 from __future__ import annotations
@@ -53,6 +55,14 @@ def read_audio(path) -> Tuple[np.ndarray, int]:
         return read_flac_bytes(data)
     if magic[:7] == b"NIST_1A":
         return read_sph_bytes(data)
+    if magic[:4] == b"OggS":
+        from tpu_asr.data.codecs import decode_ogg_opus
+        return decode_ogg_opus(data)
+    if magic[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF
+                               and (data[1] & 0xE0) == 0xE0):
+        # ID3v2 tag or bare MPEG frame sync => MP3
+        from tpu_asr.data.codecs import decode_mp3
+        return decode_mp3(data)
     if _HAS_NATIVE and magic[:4] == b"RIFF":
         pcm, sample_rate, n = _wavio.decode(data)
         return np.frombuffer(pcm, np.float32, count=n), sample_rate
@@ -95,9 +105,7 @@ def read_sph_bytes(data: bytes) -> Tuple[np.ndarray, int]:
 def read_wav_python(data: bytes, path="<bytes>") -> Tuple[np.ndarray, int]:
     """Pure-python RIFF/WAVE parser (fallback + test oracle)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise ValueError(f"not a RIFF/WAVE file: {path} "
-                         "(FLAC/MP3/Opus need external decoders not present "
-                         "in this environment)")
+        raise ValueError(f"not a RIFF/WAVE file: {path}")
     pos = 12
     fmt = None
     raw = None
