@@ -11,7 +11,6 @@ Also covers: .nemo tar round-trip via extract_nemo/load_nemo_checkpoint, and
 Lightning-checkpoint prefix stripping ('teacher.' keys).
 """
 
-import math
 import tarfile
 from pathlib import Path
 
@@ -19,8 +18,6 @@ import jax
 import numpy as np
 import pytest
 import torch
-import torch.nn as nn
-import torch.nn.functional as F
 
 from tpu_asr.config import (DecoderConfig, EncoderConfig, ModelConfig,
                             PreprocessorConfig)
@@ -32,147 +29,7 @@ from tpu_asr.models.ctc_model import CTCModel
 D_MODEL, N_HEADS, N_LAYERS, FEAT, VOCAB, KERNEL = 32, 4, 2, 24, 12, 7
 
 
-# ---------------------------------------------------------------------------
-# torch re-derivation of the NeMo modules (eval-mode semantics)
-# ---------------------------------------------------------------------------
-
-class TRelPosMHA(nn.Module):
-    def __init__(self, d, h):
-        super().__init__()
-        self.h, self.dk = h, d // h
-        self.linear_q = nn.Linear(d, d)
-        self.linear_k = nn.Linear(d, d)
-        self.linear_v = nn.Linear(d, d)
-        self.linear_out = nn.Linear(d, d)
-        self.linear_pos = nn.Linear(d, d, bias=False)
-        self.pos_bias_u = nn.Parameter(torch.randn(h, self.dk) * 0.1)
-        self.pos_bias_v = nn.Parameter(torch.randn(h, self.dk) * 0.1)
-
-    @staticmethod
-    def rel_shift(x):
-        b, h, t, p = x.shape
-        x = F.pad(x, (1, 0))
-        x = x.view(b, h, p + 1, t)
-        return x[:, :, 1:].view(b, h, t, p)
-
-    def forward(self, x, pos_emb):
-        b, t, d = x.shape
-        q = self.linear_q(x).view(b, t, self.h, self.dk)
-        k = self.linear_k(x).view(b, t, self.h, self.dk)
-        v = self.linear_v(x).view(b, t, self.h, self.dk)
-        p = self.linear_pos(pos_emb).view(-1, self.h, self.dk)
-        ac = torch.einsum("bthd,bshd->bhts", q + self.pos_bias_u, k)
-        bd = torch.einsum("bthd,phd->bhtp", q + self.pos_bias_v, p)
-        bd = self.rel_shift(bd)[:, :, :, :t]
-        scores = (ac + bd) / math.sqrt(self.dk)
-        attn = torch.softmax(scores, dim=-1)
-        out = torch.einsum("bhts,bshd->bthd", attn, v).reshape(b, t, d)
-        return self.linear_out(out)
-
-
-class TFeedForward(nn.Module):
-    def __init__(self, d, d_ff):
-        super().__init__()
-        self.linear1 = nn.Linear(d, d_ff)
-        self.linear2 = nn.Linear(d_ff, d)
-
-    def forward(self, x):
-        return self.linear2(F.silu(self.linear1(x)))
-
-
-class TConvModule(nn.Module):
-    def __init__(self, d, k):
-        super().__init__()
-        self.pointwise_conv1 = nn.Conv1d(d, 2 * d, 1)
-        self.depthwise_conv = nn.Conv1d(d, d, k, padding=k // 2, groups=d)
-        self.batch_norm = nn.BatchNorm1d(d)
-        self.pointwise_conv2 = nn.Conv1d(d, d, 1)
-
-    def forward(self, x):                       # (B, T, D)
-        x = x.transpose(1, 2)
-        x = F.glu(self.pointwise_conv1(x), dim=1)
-        x = self.depthwise_conv(x)
-        x = self.batch_norm(x)
-        x = F.silu(x)
-        x = self.pointwise_conv2(x)
-        return x.transpose(1, 2)
-
-
-class TConformerLayer(nn.Module):
-    def __init__(self, d, h, d_ff, k):
-        super().__init__()
-        self.norm_feed_forward1 = nn.LayerNorm(d)
-        self.feed_forward1 = TFeedForward(d, d_ff)
-        self.norm_self_att = nn.LayerNorm(d)
-        self.self_attn = TRelPosMHA(d, h)
-        self.norm_conv = nn.LayerNorm(d)
-        self.conv = TConvModule(d, k)
-        self.norm_feed_forward2 = nn.LayerNorm(d)
-        self.feed_forward2 = TFeedForward(d, d_ff)
-        self.norm_out = nn.LayerNorm(d)
-
-    def forward(self, x, pos_emb):
-        x = x + 0.5 * self.feed_forward1(self.norm_feed_forward1(x))
-        x = x + self.self_attn(self.norm_self_att(x), pos_emb)
-        x = x + self.conv(self.norm_conv(x))
-        x = x + 0.5 * self.feed_forward2(self.norm_feed_forward2(x))
-        return self.norm_out(x)
-
-
-class TPreEncode(nn.Module):
-    def __init__(self, feat_in, d, ch):
-        super().__init__()
-        self.conv = nn.Sequential(
-            nn.Conv2d(1, ch, 3, stride=2, padding=1), nn.ReLU(),
-            nn.Conv2d(ch, ch, 3, stride=2, padding=1), nn.ReLU())
-        f_out = ((feat_in - 1) // 2 + 1 - 1) // 2 + 1
-        self.out = nn.Linear(ch * f_out, d)
-
-    def forward(self, x):                        # (B, T, F)
-        x = self.conv(x.unsqueeze(1))            # (B, C, T', F')
-        b, c, t, f = x.shape
-        return self.out(x.transpose(1, 2).reshape(b, t, c * f))
-
-
-class TEncoder(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.pre_encode = TPreEncode(FEAT, D_MODEL, D_MODEL)
-        self.layers = nn.ModuleList(
-            TConformerLayer(D_MODEL, N_HEADS, 4 * D_MODEL, KERNEL)
-            for _ in range(N_LAYERS))
-
-    @staticmethod
-    def pos_emb(t):
-        positions = torch.arange(t - 1, -t, -1, dtype=torch.float32)[:, None]
-        div = torch.exp(torch.arange(0, D_MODEL, 2, dtype=torch.float32)
-                        * -(math.log(10000.0) / D_MODEL))
-        pe = torch.zeros(2 * t - 1, D_MODEL)
-        pe[:, 0::2] = torch.sin(positions * div)
-        pe[:, 1::2] = torch.cos(positions * div)
-        return pe
-
-    def forward(self, feats):                    # (B, F, T) NeMo layout
-        x = self.pre_encode(feats.transpose(1, 2))
-        x = x * math.sqrt(D_MODEL)               # xscale
-        pe = self.pos_emb(x.shape[1])
-        for layer in self.layers:
-            x = layer(x, pe)
-        return x                                  # (B, T, D)
-
-
-class TModel(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.encoder = TEncoder()
-        self.decoder = nn.Module()
-        self.decoder.decoder_layers = nn.Sequential(
-            nn.Conv1d(D_MODEL, VOCAB + 1, 1))
-
-    def forward(self, feats):
-        enc = self.encoder(feats)                              # (B, T, D)
-        logits = self.decoder.decoder_layers(enc.transpose(1, 2)).transpose(1, 2)
-        return F.log_softmax(logits, dim=-1), enc
+from nemo_oracle import TModel, randomize_bn_stats
 
 
 def _model_cfg():
@@ -191,13 +48,8 @@ def _model_cfg():
 @pytest.fixture(scope="module")
 def torch_model():
     torch.manual_seed(0)
-    m = TModel().eval()
-    # non-trivial BN running stats to pin the batch_stats mapping
-    for layer in m.encoder.layers:
-        bn = layer.conv.batch_norm
-        bn.running_mean.uniform_(-0.3, 0.3)
-        bn.running_var.uniform_(0.7, 1.5)
-    return m
+    m = TModel(FEAT, D_MODEL, N_HEADS, N_LAYERS, KERNEL, VOCAB).eval()
+    return randomize_bn_stats(m)
 
 
 def test_state_dict_converts_and_matches_torch_forward(torch_model):
