@@ -1,0 +1,204 @@
+"""Batched CTC prefix beam search ON DEVICE — the vectorized counterpart of
+the host `ops/decoding.py::ctc_prefix_beam_search` oracle (N10 in SURVEY.md;
+NeMo's batched beam decoding layer is ~1200 LoC of torch host code — here the
+whole search is one `lax.scan` over frames inside jit).
+
+Algorithm (Hannun et al. 2014 prefix search, vectorized):
+- Beam state is fixed-width tensors: token buffers (B, W, L), lengths,
+  last-token, (p_blank, p_non_blank) in log space, and TWO independent
+  32-bit rolling prefix hashes (merge key; collision odds ~2^-64 per pair).
+- Each frame expands a (B, W*V) candidate grid: slot (j, c) is "extend beam
+  j with token c" for c != blank and the "stay on beam j" candidate for
+  c == blank (which fuses the blank transition AND the same-symbol
+  non-blank continuation — exactly the two `add(prefix, ...)` calls of the
+  oracle).
+- Equal prefixes from different parents must MERGE (logsumexp): candidates
+  are sorted by hash pair (`lax.sort`, 2 keys) and reduced with a segmented
+  logsumexp `associative_scan`; each segment's total lands on its last
+  element, the rest drop to -inf.
+- `top_k` keeps the best W candidates; parents' buffers are gathered and
+  extended in one vectorized write.
+- Rows beyond a sample's `length` are identity steps (state select), so one
+  scan serves ragged batches with static shapes.
+
+Shallow-fusion hooks (device-resident, optional):
+- `word_bonus`: constant added per token extension (mirrors the oracle).
+- `bigram_lm` (V, V): log P(c | prev) table added on extensions, row
+  `blank` = BOS scores. Full ARPA/backoff LMs and lexicon tries stay on the
+  host path (ops/decoding.py) — they are pointer-chasing structures; the
+  dense-table form is the TPU-native equivalent for production fusion.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e30
+
+# rolling-hash multipliers (odd => invertible mod 2^32, well-mixed)
+_H1_MULT = jnp.uint32(0x9E3779B1)      # golden-ratio constant
+_H2_MULT = jnp.uint32(0x85EBCA77)      # murmur3 constant
+
+
+def _lse(a, b):
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, NEG_INF)
+    return m_safe + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m_safe))
+
+
+def _seg_logsumexp(flags, pb, pnb):
+    """Merge equal-hash neighbors along the last axis. `flags[i]` marks a
+    segment start; returns per-position merged values (the segment END holds
+    the full reduction).
+
+    A LIVE prefix q can be produced by at most TWO candidates — "stay" from
+    beam q and "extend" from beam q[:-1] (beam prefixes are distinct by
+    construction) — so segments of live candidates have size <= 2 and ONE
+    shifted merge suffices. Longer segments only occur among dead (-inf)
+    duplicate slots, where an incomplete merge still yields -inf."""
+    prev_pb = jnp.concatenate(
+        [jnp.full_like(pb[:, :1], NEG_INF), pb[:, :-1]], axis=1)
+    prev_pnb = jnp.concatenate(
+        [jnp.full_like(pnb[:, :1], NEG_INF), pnb[:, :-1]], axis=1)
+    same = ~flags
+    spb = jnp.where(same, _lse(pb, prev_pb), pb)
+    spnb = jnp.where(same, _lse(pnb, prev_pnb), pnb)
+    return spb, spnb
+
+
+@functools.partial(jax.jit, static_argnames=("beam_width", "blank",
+                                             "max_tokens"))
+def ctc_beam_search_batched(
+    log_probs: jnp.ndarray,            # (B, T, V) log-softmax
+    lengths: jnp.ndarray,              # (B,) valid frame counts
+    beam_width: int = 16,
+    blank: Optional[int] = None,
+    word_bonus: float = 0.0,
+    bigram_lm: Optional[jnp.ndarray] = None,   # (V, V) log P(col | row)
+    lm_weight: float = 1.0,
+    max_tokens: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens (B, W, Lcap) i32, token_lens (B, W) i32,
+    scores (B, W) f32), beams sorted best-first per row.
+
+    Lcap = max_tokens or T (a CTC decode emits at most one token per frame).
+    """
+    b, t_max, v = log_probs.shape
+    w = beam_width
+    if blank is None:
+        blank = v - 1
+    l_cap = int(max_tokens or t_max)
+    lp_all = log_probs.astype(jnp.float32)
+    lengths = lengths.astype(jnp.int32)
+
+    tok_ids = jnp.arange(v, dtype=jnp.int32)          # candidate token per slot
+    if bigram_lm is not None:
+        lm_tab = lm_weight * bigram_lm.astype(jnp.float32)
+
+    init = dict(
+        buf=jnp.zeros((b, w, l_cap), jnp.int32),
+        length=jnp.zeros((b, w), jnp.int32),
+        last=jnp.full((b, w), -1, jnp.int32),
+        pb=jnp.full((b, w), NEG_INF, jnp.float32).at[:, 0].set(0.0),
+        pnb=jnp.full((b, w), NEG_INF, jnp.float32),
+        h1=jnp.zeros((b, w), jnp.uint32).at[:, 0].set(1),
+        h2=jnp.zeros((b, w), jnp.uint32).at[:, 0].set(1),
+    )
+
+    def step(state, inputs):
+        lp, active = inputs                           # (B, V), (B,) bool
+        pb, pnb = state["pb"], state["pnb"]           # (B, W)
+        last, length = state["last"], state["length"]
+        h1, h2 = state["h1"], state["h2"]
+
+        p_tot = _lse(pb, pnb)                         # (B, W)
+        lp_c = lp[:, None, :]                         # (B, 1, V)
+        # gather lp[last[j]] for the same-symbol continuation of "stay"
+        lp_last = jnp.take_along_axis(
+            lp, jnp.maximum(last, 0), axis=1)          # (B, W)
+        has_last = length > 0
+
+        is_rep = tok_ids[None, None, :] == last[:, :, None]   # (B, W, V)
+        base = jnp.where(is_rep, pb[:, :, None], p_tot[:, :, None])
+        cand_pnb = base + lp_c + word_bonus           # (B, W, V) extends
+        if bigram_lm is not None:
+            prev = jnp.where(has_last, last, blank)   # BOS row = blank
+            cand_pnb = cand_pnb + lm_tab[prev]        # (B, W, V)
+        cand_pb = jnp.full((b, w, v), NEG_INF, jnp.float32)
+
+        # the blank slot is the STAY candidate
+        stay_pb = p_tot + lp[:, None, blank]
+        stay_pnb = pnb + jnp.where(has_last, lp_last, NEG_INF)
+        cand_pb = cand_pb.at[:, :, blank].set(stay_pb)
+        cand_pnb = cand_pnb.at[:, :, blank].set(stay_pnb)
+
+        # hashes: extends roll the parent hash; stay keeps it
+        tok_u = tok_ids.astype(jnp.uint32)[None, None, :] + jnp.uint32(2)
+        ch1 = h1[:, :, None] * _H1_MULT + tok_u
+        ch2 = h2[:, :, None] * _H2_MULT + tok_u
+        ch1 = ch1.at[:, :, blank].set(h1)
+        ch2 = ch2.at[:, :, blank].set(h2)
+
+        n = w * v
+        flat = lambda x: x.reshape(b, n)
+        # carry (pb, pnb, slot-index) as sort payloads — payload operands
+        # beat post-sort gathers on TPU; parent/token decode from the index
+        sh1, sh2, spb, spnb, perm = jax.lax.sort(
+            (flat(ch1), flat(ch2), flat(cand_pb), flat(cand_pnb),
+             jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))),
+            dimension=-1, num_keys=2)
+        sparent = perm // v                            # slot (j, c) layout
+        stok = perm % v
+
+        seg_start = jnp.concatenate(
+            [jnp.ones((b, 1), bool),
+             (sh1[:, 1:] != sh1[:, :-1]) | (sh2[:, 1:] != sh2[:, :-1])],
+            axis=1)
+        mpb, mpnb = _seg_logsumexp(seg_start, spb, spnb)
+        seg_end = jnp.concatenate([seg_start[:, 1:],
+                                   jnp.ones((b, 1), bool)], axis=1)
+        totals = jnp.where(seg_end, _lse(mpb, mpnb), NEG_INF)
+
+        _, top_idx = jax.lax.top_k(totals, w)          # (B, W)
+        take = lambda x: jnp.take_along_axis(x, top_idx, axis=1)
+        new_pb, new_pnb = take(mpb), take(mpnb)
+        new_h1, new_h2 = take(sh1), take(sh2)
+        sel_parent, sel_tok = take(sparent), take(stok)
+        is_stay = sel_tok == blank
+
+        parent_buf = jnp.take_along_axis(
+            state["buf"], sel_parent[:, :, None], axis=1)      # (B, W, L)
+        parent_len = jnp.take_along_axis(length, sel_parent, axis=1)
+        parent_last = jnp.take_along_axis(last, sel_parent, axis=1)
+
+        write_pos = jnp.minimum(parent_len, l_cap - 1)
+        write_here = (jnp.arange(l_cap)[None, None, :]
+                      == write_pos[:, :, None]) & ~is_stay[:, :, None]
+        new_buf = jnp.where(write_here, sel_tok[:, :, None], parent_buf)
+        new_len = parent_len + jnp.where(is_stay, 0, 1)
+        new_last = jnp.where(is_stay, parent_last, sel_tok)
+
+        sel = lambda new, old: jnp.where(
+            active[:, None] if new.ndim == 2 else active[:, None, None],
+            new, old)
+        new_state = dict(
+            buf=sel(new_buf, state["buf"]),
+            length=sel(new_len, length), last=sel(new_last, last),
+            pb=sel(new_pb, pb), pnb=sel(new_pnb, pnb),
+            h1=sel(new_h1, h1), h2=sel(new_h2, h2))
+        return new_state, None
+
+    frames = jnp.moveaxis(lp_all, 1, 0)               # (T, B, V)
+    active = (jnp.arange(t_max)[:, None] < lengths[None, :])   # (T, B)
+    final, _ = jax.lax.scan(step, init, (frames, active))
+
+    totals = _lse(final["pb"], final["pnb"])          # (B, W)
+    order = jnp.argsort(-totals, axis=1)
+    tokens = jnp.take_along_axis(final["buf"], order[:, :, None], axis=1)
+    lens = jnp.take_along_axis(final["length"], order, axis=1)
+    scores = jnp.take_along_axis(totals, order, axis=1)
+    return tokens, lens, scores

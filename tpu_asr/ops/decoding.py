@@ -172,13 +172,27 @@ class CTCDecoding:
     def __init__(self, tokenizer, strategy: str = "greedy",
                  beam_width: int = 16, lm_score_fn=None, lm_weight: float = 0.0,
                  word_bonus: float = 0.0, compute_timestamps: bool = False,
-                 ngram_lm=None, lexicon_words=None):
+                 ngram_lm=None, lexicon_words=None, bigram_lm=None):
         """ngram_lm: an ops.ngram_lm.NgramLM (or path to an ARPA file) used as
         the beam-search LM — the KenLM/pyctcdecode strategy equivalent.
         lexicon_words: iterable of allowed words; beams are constrained to
-        their token-trie (the flashlight lexicon strategy)."""
-        if strategy not in ("greedy", "greedy_batch", "beam"):
+        their token-trie (the flashlight lexicon strategy).
+        strategy 'beam_batch' runs the whole batch's prefix search on device
+        (ops/beam_search.py); it supports word_bonus and a dense (V, V)
+        `bigram_lm` log-prob table (row `blank` = BOS) but not the host-side
+        lexicon/ARPA hooks."""
+        if strategy not in ("greedy", "greedy_batch", "beam", "beam_batch"):
             raise ValueError(f"unknown decoding strategy: {strategy}")
+        if strategy == "beam_batch" and (lm_score_fn is not None
+                                         or ngram_lm is not None
+                                         or lexicon_words is not None):
+            raise ValueError(
+                "beam_batch is the on-device search: host lexicon/ARPA-LM "
+                "hooks are not supported — use strategy='beam', or pass a "
+                "dense bigram_lm table")
+        self.bigram_lm = bigram_lm
+        if bigram_lm is not None and lm_weight == 0.0:
+            lm_weight = 1.0          # same default-on as the ngram_lm path
         self.tokenizer = tokenizer
         self.strategy = strategy
         self.beam_width = beam_width
@@ -226,6 +240,18 @@ class CTCDecoding:
                 n_tokens = np.asarray(n_tokens)
                 hyps = [Hypothesis(
                     score=0.0, y_sequence=tokens[i, :n_tokens[i]].tolist())
+                    for i in range(tokens.shape[0])]
+        elif self.strategy == "beam_batch":
+            from tpu_asr.ops.beam_search import ctc_beam_search_batched
+            tokens, lens, scores = ctc_beam_search_batched(
+                decoder_outputs, decoder_lengths,
+                beam_width=self.beam_width, word_bonus=self.word_bonus,
+                bigram_lm=self.bigram_lm, lm_weight=self.lm_weight)
+            tokens = np.asarray(tokens)
+            lens = np.asarray(lens)
+            scores = np.asarray(scores)
+            hyps = [Hypothesis(score=float(scores[i, 0]),
+                               y_sequence=tokens[i, 0, :lens[i, 0]].tolist())
                     for i in range(tokens.shape[0])]
         else:
             lp = np.asarray(decoder_outputs, np.float32)
