@@ -65,6 +65,53 @@ def test_attention_batch_sharded_matches_replicated():
     assert out_sh.sharding.spec[0] == "data"
 
 
+def test_attention_dp_x_tp_head_sharded_matches_replicated():
+    """Both axes sharded at once (VERDICT r2 next #6): batch over 'data' AND
+    heads over 'model'. The per-(row, head) seed operand carries global PRNG
+    stream ids, so in-kernel dropout is bit-identical to the replicated run
+    even with heads split across shards."""
+    b, h, t, dk = 4, 4, 64, 32
+    d = h * dk
+    rng = np.random.default_rng(2)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+    q_u, q_v, k, v = (mk(b, h, t, dk) for _ in range(4))
+    w = mk(d, h, dk)
+    lengths = np.asarray([t, t - 5, 11, t - 1])
+    mask = jnp.arange(t)[None, :] < jnp.asarray(lengths)[:, None]
+    cot = mk(b, h, t, dk)
+    valid = mask[:, None, :, None]
+
+    def loss(q_u, q_v, k, v, w, mask):
+        out = fused_relpos_attention(q_u, q_v, k, v, w, mask,
+                                     dropout_rate=0.15,
+                                     dropout_seed=jnp.asarray([7], jnp.int32),
+                                     interpret=True)
+        return jnp.sum(jnp.where(valid, out, 0.0) * cot), out
+
+    grad_fn = jax.value_and_grad(loss, argnums=(0, 2, 4), has_aux=True)
+    (l_ref, out_ref), g_ref = jax.jit(grad_fn)(q_u, q_v, k, v, w, mask)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    bh = NamedSharding(mesh, P("data", "model"))
+    bsh = NamedSharding(mesh, P("data"))
+    wsh = NamedSharding(mesh, P(None, "model"))     # (D, H, dk): heads split
+    args = (jax.device_put(q_u, bh), jax.device_put(q_v, bh),
+            jax.device_put(k, bh), jax.device_put(v, bh),
+            jax.device_put(w, wsh), jax.device_put(mask, bsh))
+    with jax.set_mesh(mesh):
+        (l_sh, out_sh), g_sh = jax.jit(grad_fn)(*args)
+
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    # context stays sharded on BOTH axes — no gather
+    assert out_sh.sharding.spec[:2] == ("data", "model")
+
+
 def test_ctc_batch_sharded_matches_replicated():
     b, t, v_sz, s = 8, 40, 12, 9
     rng = np.random.default_rng(1)

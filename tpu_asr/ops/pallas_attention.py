@@ -156,7 +156,7 @@ def _attn_fwd_kernel(seed_ref, qu_ref, qr_ref, k_ref, v_ref, kpos_ref,
     attn = _recompute_attn(qu, qr, kk, kpos, bias_ref[0],
                            t=t, dk_real=dk_real, left=left, right=right)
     if rate > 0.0:
-        seed_base = seed_ref[pl.program_id(0), 0] + pl.program_id(1) * hpp
+        seed_base = seed_ref[pl.program_id(0), pl.program_id(1) * hpp]
         keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
         attn = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
 
@@ -181,7 +181,7 @@ def _attn_bwd_kernel(seed_ref, qu_ref, qr_ref, k_ref, v_ref, kpos_ref,
     attn = _recompute_attn(qu, qr, kk, kpos, bias_ref[0],
                            t=t, dk_real=dk_real, left=left, right=right)
     if rate > 0.0:
-        seed_base = seed_ref[pl.program_id(0), 0] + pl.program_id(1) * hpp
+        seed_base = seed_ref[pl.program_id(0), pl.program_id(1) * hpp]
         keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
         attn_d = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
     else:
@@ -263,9 +263,9 @@ def _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed_rows,
         kernel,
         grid=(b, n_hgroups),
         in_specs=[
-            # whole seed column in SMEM (Mosaic: block == array dims);
-            # the kernel indexes its batch row by program id
-            pl.BlockSpec((b, 1), lambda i, j: (0, 0),
+            # whole (b, h) seed matrix in SMEM (Mosaic: block == array
+            # dims); the kernel indexes (batch row, first head of its block)
+            pl.BlockSpec((b, h), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             qkv_spec, qr_spec, qkv_spec, qkv_spec,
             pl.BlockSpec((tp, dp), lambda i, j: (0, 0),
@@ -289,35 +289,39 @@ def _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed_rows,
     return out[:, :, :t, :dk]
 
 
-# GSPMD partition rules (parallel/kernel_sharding.py): batch dim 0 stays
-# sharded, everything else replicates; one wrapper per static config.
-# Order: q_u, q_r, k, v, kpos (replicated), key_bias (B,T), seed_rows (B,1).
-_ATTN_FWD_ARGS = ((4, 0), (4, 0), (4, 0), (4, 0), (2, None), (2, 0), (2, 0))
-_ATTN_BWD_ARGS = _ATTN_FWD_ARGS + ((4, 0),)
+# GSPMD partition rules (parallel/kernel_sharding.py): batch dim 0 ('b')
+# AND head dim 1 ('h') stay sharded — heads are independent grid programs,
+# so dp x tp meshes run the kernel on (local batch, local heads) blocks.
+# Order: q_u, q_r, k, v, kpos (replicated), key_bias (B,T), seeds (B,H).
+_BHXX = ("b", "h", None, None)
+_ATTN_FWD_ARGS = (_BHXX, _BHXX, _BHXX, _BHXX, (None, None), ("b", None),
+                  ("b", "h"))
+_ATTN_BWD_ARGS = _ATTN_FWD_ARGS + (_BHXX,)
 
 
 @functools.lru_cache(maxsize=None)
 def _fwd_partitioned(att_context_size, dropout_rate, interpret):
-    from tpu_asr.parallel.kernel_sharding import batch_partitioned
+    from tpu_asr.parallel.kernel_sharding import factor_partitioned
 
     def fun(q_u, q_r, k, v, kpos, key_bias, seed_rows):
         return _pallas_attention(q_u, q_r, k, v, kpos, key_bias, seed_rows,
                                  att_context_size, dropout_rate, interpret)
 
-    return batch_partitioned(fun, _ATTN_FWD_ARGS, ((4, 0),), tuple_out=False)
+    return factor_partitioned(fun, _ATTN_FWD_ARGS, (_BHXX,),
+                              tuple_out=False)
 
 
 @functools.lru_cache(maxsize=None)
 def _bwd_partitioned(att_context_size, dropout_rate, interpret):
-    from tpu_asr.parallel.kernel_sharding import batch_partitioned
+    from tpu_asr.parallel.kernel_sharding import factor_partitioned
 
     def fun(q_u, q_r, k, v, kpos, key_bias, seed_rows, g):
         return _pallas_attention_bwd(q_u, q_r, k, v, kpos, key_bias,
                                      seed_rows, g, att_context_size,
                                      dropout_rate, interpret)
 
-    return batch_partitioned(fun, _ATTN_BWD_ARGS,
-                             ((4, 0), (4, 0), (4, 0), (4, 0)), tuple_out=True)
+    return factor_partitioned(fun, _ATTN_BWD_ARGS,
+                              (_BHXX, _BHXX, _BHXX, _BHXX), tuple_out=True)
 
 
 def _pallas_attention_bwd(q_u, q_r, k, v, kpos, key_bias, seed, g,
@@ -346,9 +350,9 @@ def _pallas_attention_bwd(q_u, q_r, k, v, kpos, key_bias, seed, g,
         kernel,
         grid=(b, n_hgroups),
         in_specs=[
-            # whole seed column in SMEM (Mosaic: block == array dims);
-            # the kernel indexes its batch row by program id
-            pl.BlockSpec((b, 1), lambda i, j: (0, 0),
+            # whole (b, h) seed matrix in SMEM (Mosaic: block == array
+            # dims); the kernel indexes (batch row, first head of its block)
+            pl.BlockSpec((b, h), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             qkv_spec, qr_spec, qkv_spec, qkv_spec,
             pl.BlockSpec((tp, dp), lambda i, j: (0, 0),
@@ -438,14 +442,17 @@ def fused_relpos_attention(
     q_r = q_r.astype(q_v.dtype)
 
     key_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
-    # per-batch-row seeds: seed_rows[b] = base + b*H; the kernel adds the
-    # GLOBAL head index, so dropout bits are invariant to head-group size and
-    # batch sharding (kernel_sharding.py contract)
+    # per-(batch-row, head) seeds: seeds[b, l] = base + b*H + l. Carrying the
+    # GLOBAL stream id as data (sharded along batch AND heads) makes dropout
+    # bits invariant to head-group size, batch sharding, and head sharding
+    # (kernel_sharding.py contract) — a program-id-derived head offset would
+    # renumber under tp.
     if dropout_seed is None:
-        seed_rows = jnp.zeros((b, 1), jnp.int32)
+        seed_rows = jnp.zeros((b, h), jnp.int32)
     else:
         base = jnp.reshape(dropout_seed.astype(jnp.int32), (-1,))[0]
-        seed_rows = (base + jnp.arange(b, dtype=jnp.int32) * h)[:, None]
+        seed_rows = (base + jnp.arange(b, dtype=jnp.int32)[:, None] * h
+                     + jnp.arange(h, dtype=jnp.int32)[None, :])
     return _fused_attention_core(q_u, q_r, k, v, kpos.astype(q_v.dtype),
                                  key_bias, seed_rows,
                                  tuple(att_context_size),

@@ -1,26 +1,29 @@
-"""GSPMD partition rules for the Pallas kernels: shard along batch, never
-gather.
+"""GSPMD partition rules for the Pallas kernels: shard along the
+embarrassingly-parallel dims (batch, and heads for attention), never gather.
 
 Under plain `jit` over a `Mesh`, XLA treats a `pallas_call` as an opaque
 custom call and would REPLICATE its operands (an all-gather of the full batch
 onto every chip) — correct, but it de-scales the flagship kernels exactly
-where the framework is supposed to scale (SURVEY.md §2.4 DP contract). Both
-attention and CTC kernels are embarrassingly parallel over the batch
-dimension, so each gets a `jax.experimental.custom_partitioning` wrapper that
-keeps the batch axis sharded and replicates every other dimension; the
-per-shard lowering is just the same kernel on the local batch.
+where the framework is supposed to scale (SURVEY.md §2.4 DP contract, and
+the TP head-parallel contract of parallel/sharding.py). Each kernel gets a
+`jax.experimental.custom_partitioning` wrapper built from per-argument FACTOR
+tuples: dims labeled with the same factor ('b' = batch, 'h' = heads) stay
+sharded together over whatever mesh axis the caller's data carries; unlabeled
+dims are forced replicated. The per-shard lowering is the same kernel on the
+local block — attention heads are independent programs in the grid, so a
+head-sharded shard simply launches fewer head groups.
 
-`batch_partitioned` builds the wrapper from per-argument (rank, batch_dim)
-specs. It emits BOTH rule flavors: an einsum-like Shardy `sharding_rule`
-(the default partitioner in this JAX) and
-`infer_sharding_from_operands`/`partition` callbacks for classic GSPMD.
+Both rule flavors are emitted: an einsum-like Shardy `sharding_rule` (the
+default partitioner in this JAX — shared factors for 'b'/'h', unique
+need-replication factors elsewhere) and `infer_sharding_from_operands` /
+`partition` callbacks for classic GSPMD.
 
 Kernel-side requirement: results must be bitwise shard-invariant. The
 attention kernel's in-kernel dropout therefore derives its PRNG stream from a
-PER-BATCH-ROW seed operand (sharded along with the batch) plus the GLOBAL
-head index — never from `pl.program_id` over the batch grid, which would
-renumber under sharding (and under fwd/bwd head-group-size differences).
-"""
+PER-(BATCH-ROW, HEAD) seed operand — sharded along with batch AND heads, so
+every shard sees its heads' GLOBAL stream ids — never from `pl.program_id`,
+which would renumber under sharding (and under fwd/bwd head-group-size
+differences)."""
 
 from __future__ import annotations
 
@@ -30,49 +33,53 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
-Spec = Tuple[int, Optional[int]]          # (rank, batch_dim or None)
+# one factor label (e.g. 'b', 'h') or None per dimension of one operand
+Factors = Tuple[Optional[str], ...]
+# legacy spec for batch-only kernels: (rank, batch_dim or None)
+Spec = Tuple[int, Optional[int]]
 
 
-def _batch_axis(arg_shapes, batch_dims):
-    """The mesh axis name(s) the batch dim is sharded over, from the first
-    operand whose suggested sharding shards its batch dim."""
-    for shape, (_, bd) in zip(arg_shapes, batch_dims):
-        if bd is None:
-            continue
+def _factor_axes(arg_shapes, arg_factors):
+    """factor label -> mesh axis name, from the first operand whose suggested
+    sharding shards a dim carrying that label."""
+    axes = {}
+    for shape, factors in zip(arg_shapes, arg_factors):
         spec = getattr(shape.sharding, "spec", None)
-        if spec is not None and len(spec) > bd and spec[bd] is not None:
-            return spec[bd]
-    return None
+        if spec is None:
+            continue
+        for d, label in enumerate(factors):
+            if label is None or label in axes:
+                continue
+            if len(spec) > d and spec[d] is not None:
+                axes[label] = spec[d]
+    return axes
 
 
-def _shardings(mesh, specs, axis):
+def _shardings(mesh, factor_seq, axes):
     out = []
-    for rank, bd in specs:
-        if bd is None or axis is None:
-            out.append(NamedSharding(mesh, P()))
-        else:
-            spec = [None] * rank
-            spec[bd] = axis
-            out.append(NamedSharding(mesh, P(*spec)))
+    for factors in factor_seq:
+        spec = [axes.get(label) if label is not None else None
+                for label in factors]
+        out.append(NamedSharding(mesh, P(*spec)))
     return out
 
 
-def _rule(arg_specs: Sequence[Spec], out_specs: Sequence[Spec]):
-    """Einsum-like Shardy rule: shared factor 'b' on every batch dim, a
-    unique need-replication factor everywhere else."""
+def _rule(arg_factors: Sequence[Factors], out_factors: Sequence[Factors]):
+    """Einsum-like Shardy rule: shared factors for labeled dims, a unique
+    need-replication factor everywhere else."""
     from jax._src.custom_partitioning_sharding_rule import (
         str_to_sdy_sharding_rule)
 
     counter = [0]
     others = []
 
-    def render(specs):
+    def render(factor_seq):
         terms = []
-        for rank, bd in specs:
+        for factors in factor_seq:
             dims = []
-            for d in range(rank):
-                if bd is not None and d == bd:
-                    dims.append("b")
+            for label in factors:
+                if label is not None:
+                    dims.append(label)
                 else:
                     counter[0] += 1
                     f = f"f{counter[0]}"
@@ -81,32 +88,48 @@ def _rule(arg_specs: Sequence[Spec], out_specs: Sequence[Spec]):
             terms.append(" ".join(dims))
         return ", ".join(terms)
 
-    lhs = render(arg_specs)
-    rhs = render(out_specs)
+    lhs = render(arg_factors)
+    rhs = render(out_factors)
     return str_to_sdy_sharding_rule(f"{lhs} -> {rhs}",
                                     need_replication_factors=tuple(others))
 
 
-def batch_partitioned(fun: Callable, arg_specs: Sequence[Spec],
-                      out_specs: Sequence[Spec], tuple_out: bool):
-    """Wrap `fun(*tensor_args) -> array-or-tuple` with batch-dim partition
-    rules. Static configuration must already be closed over in `fun`."""
+def factor_partitioned(fun: Callable, arg_factors: Sequence[Factors],
+                       out_factors: Sequence[Factors], tuple_out: bool):
+    """Wrap `fun(*tensor_args) -> array-or-tuple` with factor-labeled
+    partition rules. Static configuration must already be closed over in
+    `fun`."""
 
     cp = custom_partitioning(fun)
 
     def infer(mesh, arg_shapes, result_shape):
-        axis = _batch_axis(arg_shapes, arg_specs)
-        sh = _shardings(mesh, out_specs, axis)
+        axes = _factor_axes(arg_shapes, arg_factors)
+        sh = _shardings(mesh, out_factors, axes)
         return tuple(sh) if tuple_out else sh[0]
 
     def part(mesh, arg_shapes, result_shape):
-        axis = _batch_axis(arg_shapes, arg_specs)
-        arg_sh = tuple(_shardings(mesh, arg_specs, axis))
-        out_sh = _shardings(mesh, out_specs, axis)
+        axes = _factor_axes(arg_shapes, arg_factors)
+        arg_sh = tuple(_shardings(mesh, arg_factors, axes))
+        out_sh = _shardings(mesh, out_factors, axes)
         out_sh = tuple(out_sh) if tuple_out else out_sh[0]
         return mesh, fun, out_sh, arg_sh
 
     cp.def_partition(partition=part, infer_sharding_from_operands=infer,
-                     sharding_rule=_rule(arg_specs, out_specs),
+                     sharding_rule=_rule(arg_factors, out_factors),
                      decode_shardings=True)
     return cp
+
+
+def _spec_to_factors(spec: Spec) -> Factors:
+    rank, bd = spec
+    return tuple("b" if (bd is not None and d == bd) else None
+                 for d in range(rank))
+
+
+def batch_partitioned(fun: Callable, arg_specs: Sequence[Spec],
+                      out_specs: Sequence[Spec], tuple_out: bool):
+    """Batch-dim-only wrapper (CTC kernel): legacy (rank, batch_dim) specs."""
+    return factor_partitioned(fun,
+                              [_spec_to_factors(s) for s in arg_specs],
+                              [_spec_to_factors(s) for s in out_specs],
+                              tuple_out)

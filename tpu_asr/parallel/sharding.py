@@ -17,8 +17,10 @@ the scanned-layer leading axis):
 
 Everything else (LN, convs, featurizer-free) is replicated. The same rules
 apply to optimizer moments automatically: `shard_tree` matches path suffixes,
-and optax's Adam state mirrors the param tree. The fused Pallas attention is
-not GSPMD-partitioned — use `attention_backend='xla'` when tp_size > 1.
+and optax's Adam state mirrors the param tree. The fused Pallas attention
+composes with tp: its custom_partitioning rules shard the head axis too
+(parallel/kernel_sharding.py 'h' factor), so `attention_backend='pallas'`
+works under tp_size > 1 with each shard running its local heads.
 """
 
 from __future__ import annotations
