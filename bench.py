@@ -3,7 +3,15 @@
 Measures end-to-end inference throughput (featurizer -> encoder -> decoder ->
 on-device greedy CTC decode) for the reference teacher architecture
 (stt_en_conformer_ctc_small: d_model 176, 16 layers — conformer_ctc_bpe.yaml:7-18)
-on whatever accelerator JAX sees, and prints ONE JSON line.
+on whatever accelerator JAX sees, and prints ONE JSON line (the driver
+contract).
+
+`python bench.py --full` additionally prints one JSON line per extra
+scenario BEFORE the headline (VERDICT r2 next #7 benchmark realism):
+- batch-scaling sweep (B=32/64/128, uniform 15 s),
+- a bucketed LibriSpeech-test-other-like duration distribution (RTFx counts
+  REAL audio seconds only, not bucket padding),
+- batched beam-search decode RTFx (model + ops/beam_search.py, W=16).
 
 RTFx = seconds of audio processed per wall-clock second (higher is better).
 `vs_baseline` divides by an A100 reference estimate for this model
@@ -28,6 +36,102 @@ BATCH = 32
 SECONDS = 15
 SR = 16000
 ITERS = 10
+
+
+def _realistic_durations(n: int, rng: "np.random.Generator") -> "np.ndarray":
+    """LibriSpeech-test-other-like utterance lengths: lognormal around ~6-7 s,
+    clipped to the reference pipeline's [1.0, 16.7] s duration filter
+    (SURVEY.md N11; conformer_ctc_bpe.yaml:59)."""
+    d = rng.lognormal(mean=np.log(6.2), sigma=0.55, size=n)
+    return np.clip(d, 1.0, 16.7)
+
+
+def _bench_full(model, variables, infer, headline_rtfx) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_asr.ops.beam_search import ctc_beam_search_batched
+    from tpu_asr.utils.flops import compiled_flops, mfu
+
+    rng = np.random.default_rng(1)
+
+    # ---- batch-scaling sweep ----
+    for b in (32, 64, 128):
+        sig = jnp.asarray(
+            rng.normal(size=(b, SECONDS * SR)).astype(np.float32) * 0.1)
+        sl = jnp.full((b,), SECONDS * SR, jnp.int32)
+        jax.block_until_ready(infer(sig, sl))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = infer(sig, sl)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / ITERS
+        fl = compiled_flops(infer, sig, sl)
+        util = mfu(fl, dt)
+        rtfx = b * SECONDS / dt
+        print(json.dumps({
+            "metric": f"greedy RTFx @ batch {b} (uniform 15 s)",
+            "value": round(rtfx, 2), "unit": "x realtime",
+            "vs_baseline": round(rtfx / A100_RTFX_ESTIMATE, 3),
+            "mfu": round(util, 4) if util is not None else None}))
+
+    # ---- bucketed realistic duration distribution ----
+    n_utts = 256
+    durs = _realistic_durations(n_utts, rng)
+    order = np.argsort(durs)
+    n_buckets = 4
+    bucket_ids = np.array_split(order, n_buckets)
+    total_audio = float(durs.sum())
+    batches = []
+    for ids in bucket_ids:
+        cap = float(durs[ids].max())
+        cap_samples = int(round(cap * SR))
+        for i in range(0, len(ids), BATCH):
+            chunk = ids[i:i + BATCH]
+            # static-shape batch: pad rows to the bucket cap, cyclic-repeat
+            # to the full batch size (the dataloader's padding contract)
+            rows = np.resize(chunk, BATCH)
+            sig = (rng.normal(size=(BATCH, cap_samples))
+                   .astype(np.float32) * 0.1)
+            sl = np.minimum((durs[rows] * SR).astype(np.int64),
+                            cap_samples).astype(np.int32)
+            batches.append((jnp.asarray(sig), jnp.asarray(sl)))
+    for sig, sl in batches:                   # compile per bucket shape
+        jax.block_until_ready(infer(sig, sl))
+    t0 = time.perf_counter()
+    for sig, sl in batches:
+        out = infer(sig, sl)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    rtfx = total_audio / dt
+    print(json.dumps({
+        "metric": "greedy RTFx, bucketed realistic durations "
+                  f"({n_utts} utts, lognormal~6s, {n_buckets} buckets)",
+        "value": round(rtfx, 2), "unit": "x realtime",
+        "vs_baseline": round(rtfx / A100_RTFX_ESTIMATE, 3)}))
+
+    # ---- batched beam-search decode (model + device beam, W=16) ----
+    @jax.jit
+    def infer_beam(signal, signal_len):
+        out = model.apply(variables, signal, signal_len, train=False)
+        return ctc_beam_search_batched(
+            out.log_probs.astype(jnp.float32), out.encoded_len,
+            beam_width=16)
+
+    sig = jnp.asarray(
+        rng.normal(size=(BATCH, SECONDS * SR)).astype(np.float32) * 0.1)
+    sl = jnp.full((BATCH,), SECONDS * SR, jnp.int32)
+    jax.block_until_ready(infer_beam(sig, sl))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = infer_beam(sig, sl)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    rtfx = BATCH * SECONDS / dt
+    print(json.dumps({
+        "metric": "beam-search (W=16) inference RTFx",
+        "value": round(rtfx, 2), "unit": "x realtime",
+        "vs_baseline": round(rtfx / A100_RTFX_ESTIMATE, 3)}))
 
 
 def main() -> None:
@@ -77,6 +181,12 @@ def main() -> None:
     from tpu_asr.utils.flops import compiled_flops, mfu
     fl = compiled_flops(infer, signal, signal_len)
     util = mfu(fl, elapsed / ITERS)
+
+    import sys
+    if "--full" in sys.argv:
+        _bench_full(model, variables, infer, rtfx)
+
+    # the driver-contract headline stays the LAST line printed
     print(json.dumps({
         "metric": "librispeech-style greedy inference RTFx (conformer-ctc-small)",
         "value": round(rtfx, 2),
