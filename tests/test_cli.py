@@ -13,7 +13,6 @@ import pytest
 import torch
 import yaml
 
-import tests.test_convert as tc
 from tests.test_convert import TModel, D_MODEL, FEAT, KERNEL, N_HEADS, N_LAYERS
 
 VOCAB = 32   # big enough for the fallback BPE alphabet (test_convert uses 12)
@@ -42,14 +41,9 @@ def env(tmp_path_factory):
     write_manifest(train_man, entries)
     write_manifest(val_man, entries[:3])
 
-    # tiny .nemo teacher (patch the decoder vocab before construction)
+    # tiny .nemo teacher (oracle dims from test_convert, wider vocab)
     torch.manual_seed(0)
-    old_vocab = tc.VOCAB
-    tc.VOCAB = VOCAB
-    try:
-        tm = TModel().eval()
-    finally:
-        tc.VOCAB = old_vocab
+    tm = TModel(FEAT, D_MODEL, N_HEADS, N_LAYERS, KERNEL, VOCAB).eval()
     pack = root / "pack"
     pack.mkdir()
     cfg_yaml = {

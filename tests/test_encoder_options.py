@@ -80,3 +80,18 @@ def test_mid_stack_reduction(rng, reduction, position):
         enc = ConformerEncoder(cfg)
         names = set(v["params"].keys())
         assert "layers" in names and "layers_post" in names
+
+
+def test_explicit_pallas_backend_rejects_incompatible_attention(rng):
+    """ADVICE r2 (medium): attention_backend='pallas' with chunked or
+    global-token attention must raise instead of silently running the
+    kernel's sliding-window semantics."""
+    feats = jnp.asarray(rng.standard_normal((1, 16, 64)).astype(np.float32))
+    lens = jnp.array([64])
+    for kw in (dict(att_context_style="chunked_limited",
+                    att_context_size=(8, 3)),
+               dict(att_context_size=(2, 2), global_tokens=1)):
+        cfg = _cfg(attention_backend="pallas", **kw)
+        enc = ConformerEncoder(cfg)
+        with pytest.raises(ValueError, match="pallas"):
+            enc.init(jax.random.PRNGKey(0), feats, lens)

@@ -54,3 +54,15 @@ def test_ctc_pallas_zero_target_length(rng):
     want = np.asarray(ctc_forward_logprob(lp, tgt, il, tl, blank=v - 1))
     got = np.asarray(ctc_nll_pallas(lp, tgt, il, tl, v - 1, True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pick_bc_raises_actionable_error_when_vmem_overflows():
+    """ADVICE r2 (low): a batch with no 8-multiple divisor (e.g. 12) whose
+    lattice exceeds the VMEM budget must fail with a clear message, not a
+    Mosaic compile error."""
+    import pytest
+    from tpu_asr.ops.pallas_ctc import _pick_bc
+    with pytest.raises(ValueError, match="VMEM"):
+        _pick_bc(12, t_max=10000, lp_pad=512, n_cubes=2)
+    # and a batch that allows small chunks still picks one
+    assert _pick_bc(32, t_max=100, lp_pad=128, n_cubes=2) in (8, 16, 32)
