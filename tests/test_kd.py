@@ -331,7 +331,8 @@ def test_distil_model_losses(mode):
     key = jax.random.PRNGKey(0)
     rngs = {"params": key, "specaug": key, "dropout": key, "gumbel": key,
             "noise": key}
-    variables = model.init(rngs, sig, sig_len, tokens, tok_len, train=True)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rngs, sig, sig_len, tokens, tok_len, train=True)
 
     # one trace: loss values + grads together (the forward re-runs inside
     # grad anyway; tracing it twice doubled this test's compile time)
@@ -346,7 +347,7 @@ def test_distil_model_losses(mode):
             mutable=["batch_stats"])
         return o.losses["total"], o
 
-    (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+    (_, out), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
         variables["params"])
     assert jnp.isfinite(out.losses["total"])
     assert float(out.losses["ctc"]) > 0
