@@ -146,15 +146,17 @@ class FilterbankFeatures:
     """
 
     def __init__(self, cfg: Optional[PreprocessorConfig] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", pallas_passes: int = 1):
         """backend: 'xla' | 'pallas' | 'auto'.
 
-        'pallas' runs the fused DFT+mel+log kernel (ops/pallas_features.py);
-        normalization/masking stay here either way. Measured on v5e-1
-        (B=32 x 15 s): XLA 2.5 ms/batch vs pallas 10.0 ms/batch — XLA fuses
-        the framing gather into the DFT matmul and wins, so 'auto' resolves
-        to 'xla' everywhere and the kernel stays available for configs where
-        the fusion pattern differs.
+        'pallas' runs the fused block-DFT+mel+log kernel
+        (ops/pallas_features.py); normalization/masking stay here either
+        way. Measured DEVICE time on v5e-1 (B=32 x 15 s): XLA 1.04 ms vs
+        kernel 0.72 ms — the kernel keeps the (B, T, 2F) DFT accumulator in
+        VMEM where the XLA path round-trips it through HBM once per hop
+        chunk — so 'auto' resolves to 'pallas' on TPU (same bf16 numeric
+        class as XLA's default matmul precision; `pallas_passes` buys more
+        accuracy, see the kernel docstring) and 'xla' elsewhere.
         """
         self.cfg = cfg or PreprocessorConfig()
         c = self.cfg
@@ -163,8 +165,10 @@ class FilterbankFeatures:
         self.win_length = c.win_length
         self.n_mels = c.features
         if backend == "auto":
-            backend = "xla"          # measured faster than the pallas kernel
+            import jax as _jax
+            backend = "pallas" if _jax.default_backend() == "tpu" else "xla"
         self.backend = backend
+        self.pallas_passes = pallas_passes
         cos_b, sin_b = _dft_basis(c.n_fft, c.win_length, c.window)
         fb = mel_filterbank(c.sample_rate, c.n_fft, c.features, c.lowfreq, c.highfreq)
         self._cos = jnp.asarray(cos_b)
@@ -234,7 +238,8 @@ class FilterbankFeatures:
             pad = self.n_fft // 2
             xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
             n_frames = (xp.shape[1] - self.n_fft) // self.hop_length + 1
-            mel = fused_logmel(xp, n_frames, c)                        # (B, T, M)
+            mel = fused_logmel(xp, n_frames, c,
+                               passes=self.pallas_passes)              # (B, T, M)
         else:
             power = self._block_stft_power(x)               # (B, T, n_freqs)
             if c.mag_power != 2.0:
