@@ -294,13 +294,16 @@ def _pad_operands(q_u, q_v, k, v, wev, wod, sin_t, cos_t, key_bias):
     b, h, t, dk = q_u.shape
     half = wev.shape[-1]
     tp = _round_up(t, LANE)
-    dkp = _round_up(dk, LANE)
+    # dk stays UNPADDED: it appears only as a contraction / output-minor dim,
+    # so Mosaic pads it in-register — explicitly padding 44 -> 128 in XLA
+    # tripled the q/k/v/out HBM bytes and showed up as pad+copy ops worth
+    # ~0.9 ms across the 16-layer scan (B=32 x 15 s trace)
+    dkp = dk
     dh = _round_up(half, LANE)
 
-    pad_qkv = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, tp - t),
-                                    (0, dkp - dk)))
+    pad_qkv = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
     q_u_p, q_v_p, k_p, v_p = (pad_qkv(x) for x in (q_u, q_v, k, v))
-    pad_w = lambda x: jnp.pad(x, ((0, 0), (0, dkp - dk), (0, dh - half)))
+    pad_w = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, dh - half)))
     wev_p, wod_p = pad_w(wev), pad_w(wod)
     # padded table rows (t >= T) multiply padded (zero) query rows; padded
     # columns (i >= D/2) hit zero weight columns — both contribute exactly 0
