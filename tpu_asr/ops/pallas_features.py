@@ -217,9 +217,12 @@ def fused_logmel(x_padded: jnp.ndarray, n_frames: int,
             out_specs=pl.BlockSpec((1, TILE_T, mp), tile,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bl_, t_pad, mp), jnp.float32),
+            # real algorithm FLOPs (unpadded dims), not padded-lane work:
+            # the estimate feeds utils/flops.compiled_flops -> reported MFU
             cost_estimate=pl.CostEstimate(
-                flops=max(passes, 1) * 2 * bl_ * t_pad * kp * 2 * fp
-                + max(passes, 1) * 2 * bl_ * t_pad * fp * mp,
+                flops=max(passes, 1) * 2 * bl_ * n_frames
+                * (n_fft * 2 * (n_fft // 2 + 1)
+                   + (n_fft // 2 + 1) * c.features),
                 bytes_accessed=n_wide * bl_ * t_pad * kp * 2
                 + bl_ * t_pad * mp * 4,
                 transcendentals=bl_ * t_pad * mp,
