@@ -147,3 +147,103 @@ def test_ctc_batch_sharded_matches_replicated():
     np.testing.assert_allclose(l_sh, l_ref, rtol=1e-5)
     np.testing.assert_allclose(g_sh, g_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(nll_sh), want, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Block attention kernel (whole-sublayer fusion, ops/pallas_attention
+# fused_relpos_attention_block): batch sharding, and dp x tp with the HEAD
+# factor CONTRACTED into the (B, T, D) output — each shard computes its
+# local heads' output-projection partial and the partition lowering inserts
+# the psum (factor_partitioned reduce_factors), Megatron row-parallel style.
+# ---------------------------------------------------------------------------
+
+
+def _block_args(rng, b, t, d, h):
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32) * 0.5)
+    params = dict(wq=mk(d, d), bq=mk(d), wk=mk(d, d), bk=mk(d),
+                  wv=mk(d, d), bv=mk(d), bu=mk(h, d // h), bvv=mk(h, d // h),
+                  wpos=mk(d, h, d // h), wo=mk(d, d))
+    return x, params
+
+
+def _block_loss(x, p_, mask, h, valid):
+    from tpu_asr.ops.pallas_attention import fused_relpos_attention_block
+    out = fused_relpos_attention_block(
+        x, p_["wq"], p_["bq"], p_["wk"], p_["bk"], p_["wv"], p_["bv"],
+        p_["bu"], p_["bvv"], p_["wpos"], p_["wo"], mask, n_heads=h,
+        dropout_rate=0.2, dropout_seed=jnp.asarray([5], jnp.int32),
+        interpret=True)
+    return jnp.sum(jnp.where(valid, out, 0.0) * out), out
+
+
+def test_block_attention_batch_sharded_matches_replicated():
+    b, t, d, h = 8, 64, 32, 4
+    rng = np.random.default_rng(7)
+    x, p_ = _block_args(rng, b, t, d, h)
+    lengths = np.asarray([t, t - 3, t - 9, 5, t, t - 1, 17, t - 30])
+    mask = jnp.arange(t)[None, :] < jnp.asarray(lengths)[:, None]
+    valid = mask[..., None]
+
+    grad_fn = jax.value_and_grad(
+        lambda x, p: _block_loss(x, p, mask, h, valid), argnums=(0, 1),
+        has_aux=True)
+    (l_ref, out_ref), g_ref = jax.jit(grad_fn)(x, p_)
+
+    mesh = _mesh()
+    bsh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    with jax.set_mesh(mesh):
+        (l_sh, out_sh), g_sh = jax.jit(grad_fn)(
+            jax.device_put(x, bsh),
+            jax.tree.map(lambda z: jax.device_put(z, repl), p_))
+
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+    assert out_sh.sharding.spec[0] == "data"
+
+
+def test_block_attention_dp_x_tp_head_contracted_matches_replicated():
+    """dp x tp: x batch-sharded, all attention weights head-sharded (the
+    TP_RULES layout: head-major output columns of linear_q/k/v, head-major
+    input rows of linear_out), output (B, T, D) assembled by in-lowering
+    psum. Dropout streams are keyed per (row, head) so bits match the
+    replicated run."""
+    b, t, d, h = 4, 64, 32, 4
+    rng = np.random.default_rng(8)
+    x, p_ = _block_args(rng, b, t, d, h)
+    lengths = np.asarray([t, t - 5, 11, t - 1])
+    mask = jnp.arange(t)[None, :] < jnp.asarray(lengths)[:, None]
+    valid = mask[..., None]
+
+    grad_fn = jax.value_and_grad(
+        lambda x, p: _block_loss(x, p, mask, h, valid), argnums=(0, 1),
+        has_aux=True)
+    (l_ref, out_ref), g_ref = jax.jit(grad_fn)(x, p_)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    bsh = NamedSharding(mesh, P("data"))
+    # the TP_RULES shardings for the full-kernel params (sharding.py):
+    # q/k/v kernels split head-major OUTPUT columns, linear_out splits
+    # head-major INPUT rows, per-head tensors split their head dim
+    psh = dict(wq=P(None, "model"), bq=P("model"), wk=P(None, "model"),
+               bk=P("model"), wv=P(None, "model"), bv=P("model"),
+               bu=P("model", None), bvv=P("model", None),
+               wpos=P(None, "model", None), wo=P("model", None))
+    p_sh = {k_: jax.device_put(v_, NamedSharding(mesh, psh[k_]))
+            for k_, v_ in p_.items()}
+    with jax.set_mesh(mesh):
+        (l_sh, out_sh), g_sh = jax.jit(grad_fn)(jax.device_put(x, bsh), p_sh)
+
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+    assert out_sh.sharding.spec[0] == "data"

@@ -72,10 +72,18 @@ class ConvSubsampling(nn.Module):
             )(h)
             h = nn.relu(h)
         b, t, f, ch = h.shape
+        # NeMo flattens (C, F) channel-major before its `out` Linear; the
+        # param keeps that row order (checkpoint-layout contract,
+        # conformer_encoder.py:371-392) but the PERMUTATION is folded into
+        # the kernel instead of transposing the (B, T, F, C) activation —
+        # the activation transpose materialized as a 0.25 ms layout copy per
+        # step on v5e (trace: copy.41), vs ~2.5 MB of extra weight traffic.
+        w, bias = _DenseParams(c.d_model, ch * f, name="out")()
+        w_fc = w.reshape(ch, f, c.d_model).transpose(1, 0, 2).reshape(
+            f * ch, c.d_model)
         h = h.reshape(b, t, f * ch)
-        # NeMo flattens as (C, F) channel-major: transpose to match checkpoint layout
-        h = h.reshape(b, t, f, ch).transpose(0, 1, 3, 2).reshape(b, t, ch * f)
-        return nn.Dense(c.d_model, dtype=self.dtype, name="out")(h)
+        return (h @ w_fc.astype(self.dtype)
+                + bias.astype(self.dtype)).astype(self.dtype)
 
 
 def rel_positional_encoding(t: int, d_model: int, dtype=jnp.float32,
@@ -179,23 +187,61 @@ class RelPositionMultiHeadAttention(nn.Module):
             [kv_cache.astype(x.dtype), x], axis=1)
         t_kv = kv_in.shape[1]
 
-        q = nn.Dense(d, dtype=self.dtype, name="linear_q")(x)
-        k = nn.Dense(d, dtype=self.dtype, name="linear_k")(kv_in)
-        v = nn.Dense(d, dtype=self.dtype, name="linear_v")(kv_in)
-        # linear_pos as a raw kernel (same `linear_pos/kernel` param path and
-        # init as the bias-free Dense it replaces): the Pallas path consumes
-        # the weight directly (rotation-factored position scores), the XLA
-        # paths apply it to pos_emb as before.
+        # Projections as raw (kernel, bias) params under the same paths/inits
+        # as the nn.Dense modules they replace (checkpoint-layout contract):
+        # the block-fused Pallas kernel consumes the weights directly, the
+        # XLA paths apply them as the matmuls Dense would have emitted.
+        wq_k, bq_b = _DenseParams(d, d, name="linear_q")()
+        wk_k, bk_b = _DenseParams(d, d, name="linear_k")()
+        wv_k, bv_b = _DenseParams(d, d, name="linear_v")()
+        wo_k, bo_b = _DenseParams(d, d, name="linear_out")()
         w_pos = _PosKernel(d, d, name="linear_pos")()
+        bias_u = self.param("pos_bias_u", nn.initializers.zeros, (h, dk), jnp.float32)
+        bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dk), jnp.float32)
+
+        backend = self.attention_backend
+        if backend == "auto":
+            # fused kernel for BOTH inference and training on TPU (its custom
+            # VJP is a fused Pallas backward; attention dropout runs in-kernel)
+            backend = ("pallas" if (self.att_context_style == "regular" and
+                                    self.global_tokens == 0 and
+                                    kv_cache is None and
+                                    jax.default_backend() == "tpu") else "xla")
+        if backend == "pallas" and kv_cache is None:
+            # The fused kernel implements ONLY the 'regular' (sliding-window)
+            # attention semantics; chunked_limited and longformer global
+            # tokens silently diverge — refuse rather than mis-attend.
+            if self.att_context_style != "regular" or self.global_tokens > 0:
+                raise ValueError(
+                    "attention_backend='pallas' supports only "
+                    "att_context_style='regular' with global_tokens=0 "
+                    f"(got style={self.att_context_style!r}, "
+                    f"global_tokens={self.global_tokens}); use "
+                    "attention_backend='xla' for chunked/global attention")
+            from tpu_asr.ops.pallas_attention import fused_relpos_attention_block
+            rate, seed = 0.0, None
+            if not deterministic and self.dropout_rate > 0.0:
+                rate = self.dropout_rate
+                seed = jax.random.randint(self.make_rng("dropout"), (1,),
+                                          0, jnp.iinfo(jnp.int32).max)
+            out = fused_relpos_attention_block(
+                x.astype(self.dtype), wq_k, bq_b, wk_k, bk_b, wv_k, bv_b,
+                bias_u, bias_v, w_pos.reshape(d, h, dk), wo_k, mask,
+                n_heads=h, att_context_size=self.att_context_size,
+                dropout_rate=rate, dropout_seed=seed)
+            return (out + bo_b.astype(self.dtype)).astype(self.dtype)
+
+        proj = lambda z, w, bb: (z.astype(self.dtype) @ w.astype(self.dtype)
+                                 + bb.astype(self.dtype))
+        q = proj(x, wq_k, bq_b)
+        k = proj(kv_in, wk_k, bk_b)
+        v = proj(kv_in, wv_k, bv_b)
         p = pos_emb.astype(self.dtype) @ w_pos.astype(self.dtype)
 
         q = q.reshape(b, t, h, dk)
         k = k.reshape(b, t_kv, h, dk)
         v = v.reshape(b, t_kv, h, dk)
         p = p.reshape(-1, h, dk)                               # (C+2T-1, H, dk)
-
-        bias_u = self.param("pos_bias_u", nn.initializers.zeros, (h, dk), jnp.float32)
-        bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dk), jnp.float32)
 
         q_u = q + bias_u.astype(q.dtype)[None, None]
         q_v = q + bias_v.astype(q.dtype)[None, None]
@@ -218,42 +264,7 @@ class RelPositionMultiHeadAttention(nn.Module):
             out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
             out = out.reshape(b, t, d).astype(self.dtype)
-            return nn.Dense(d, dtype=self.dtype, name="linear_out")(out)
-
-        backend = self.attention_backend
-        if backend == "auto":
-            # fused kernel for BOTH inference and training on TPU (its custom
-            # VJP is a fused Pallas backward; attention dropout runs in-kernel)
-            backend = ("pallas" if (self.att_context_style == "regular" and
-                                    self.global_tokens == 0 and
-                                    jax.default_backend() == "tpu") else "xla")
-        if backend == "pallas":
-            # The fused kernel implements ONLY the 'regular' (sliding-window)
-            # attention semantics; chunked_limited and longformer global
-            # tokens silently diverge — refuse rather than mis-attend.
-            if self.att_context_style != "regular" or self.global_tokens > 0:
-                raise ValueError(
-                    "attention_backend='pallas' supports only "
-                    "att_context_style='regular' with global_tokens=0 "
-                    f"(got style={self.att_context_style!r}, "
-                    f"global_tokens={self.global_tokens}); use "
-                    "attention_backend='xla' for chunked/global attention")
-            from tpu_asr.ops.pallas_attention import fused_relpos_attention
-            rate, seed = 0.0, None
-            if not deterministic and self.dropout_rate > 0.0:
-                rate = self.dropout_rate
-                seed = jax.random.randint(self.make_rng("dropout"), (1,),
-                                          0, jnp.iinfo(jnp.int32).max)
-            ctx = fused_relpos_attention(
-                jnp.transpose(q_u, (0, 2, 1, 3)),
-                jnp.transpose(q_v, (0, 2, 1, 3)),
-                jnp.transpose(k, (0, 2, 1, 3)),
-                jnp.transpose(v, (0, 2, 1, 3)),
-                w_pos.reshape(d, h, dk), mask, self.att_context_size,
-                dropout_rate=rate, dropout_seed=seed)
-            out = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, t, d)
-            out = out.astype(self.dtype)
-            return nn.Dense(d, dtype=self.dtype, name="linear_out")(out)
+            return proj(out, wo_k, bo_b)
 
         # Content score (B, H, T, T) and position score (B, H, T, 2T-1):
         # accumulate in fp32 on the MXU but MATERIALIZE in the compute dtype —
@@ -321,7 +332,7 @@ class RelPositionMultiHeadAttention(nn.Module):
         out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.reshape(b, t, d).astype(self.dtype)
-        return nn.Dense(d, dtype=self.dtype, name="linear_out")(out)
+        return proj(out, wo_k, bo_b)
 
 
 class MaskedBatchNorm(nn.Module):

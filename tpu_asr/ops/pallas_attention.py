@@ -555,3 +555,567 @@ def fused_relpos_attention(
                                  key_bias, seed_rows,
                                  tuple(att_context_size),
                                  float(dropout_rate), interpret)
+
+
+# ---------------------------------------------------------------------------
+# Block attention: the ENTIRE attention sublayer in one kernel.
+#
+# fused_relpos_attention takes per-head q_u/q_v/k/v tensors that XLA must
+# first produce (three (D, D) projections + bias adds + head-split
+# transposes) and ships 4 x (B, H, T, dk) operands; afterwards XLA
+# transposes the context back and applies linear_out. On v5e the
+# surrounding ops are BANDWIDTH-bound (the projections lower to grouped
+# convolutions, ~0.05 ms/layer; the context transpose is a 0.02 ms/layer
+# layout copy — B=32 x 15 s trace). The block kernel consumes the (B, T, D)
+# attention INPUT directly: q/k/v projections (+ their biases and the
+# rel-pos u/v biases), content + rotated position scores, softmax, dropout,
+# the value contraction AND the per-head output projection all run in VMEM.
+# Operand traffic per layer drops from 4x(B,H,T,dk) + ctx to x + one
+# (B, G, T, D) output partial per head-group (G=1 at ASR sizes), and the q
+# projection runs ONCE for q_u/q_v instead of shipping both.
+#
+# Layout: projections live TRANSPOSED in VMEM — (heads, dk, T) with dk on
+# SUBLANES — so the q/k score contraction streams dk through the MXU at
+# sublane padding (44 -> 48) where the orientation allows, instead of a
+# 128-padded lane dim. The position chain runs in the same transposed
+# orientation against transposed sin/cos tables.
+# ---------------------------------------------------------------------------
+
+
+def _project_t(x16, w_ref, bias_ref):
+    """x16 (T, D) bf16, w (hpp, D, dk), bias (hpp, dk, 1) fp32 ->
+    fp32 (hpp, dk, T) transposed projection (+ bias broadcast over T)."""
+    w16 = w_ref[:].astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))            # (h,D,dk) x (T,D) -> (h,dk,T)
+    p = jax.lax.dot_general(w16, x16, dn, preferred_element_type=jnp.float32)
+    return p + bias_ref[:]
+
+
+def _block_scores(x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref,
+                  bv_ref, wev_ref, wod_ref, sint_ref, cost_ref, cos_ref,
+                  sin_ref, bias, *, t, dk_real, left, right):
+    """Shared by fwd and bwd: projections + scores + softmax in VMEM.
+    Returns (attn (hpp,T,S) fp32, qT, q_uT, q_vT, kT, vT (hpp,dk,T) fp32)."""
+    qt = _project_t(x16, wq_ref, cu_ref)               # carries bq + bias_u
+    q_vt = qt - cu_ref[:] + cv_ref[:]                  # swap to bq + bias_v
+    kt = _project_t(x16, wk_ref, bk_ref)
+    vt = _project_t(x16, wv_ref, bv_ref)
+
+    qu16, qv16, k16 = (a.astype(jnp.bfloat16) for a in (qt, q_vt, kt))
+    # content scores: contract dk (sublanes), batch heads
+    cdn = (((1,), (1,)), ((0,), (0,)))
+    ac = jax.lax.dot_general(qu16, k16, cdn,
+                             preferred_element_type=jnp.float32)
+    # position scores, transposed rotation: u/w (hpp, Dh, T)
+    wdn = (((1,), (1,)), ((0,), (0,)))       # (h,dk,Dh) x (h,dk,T)
+    wev16 = wev_ref[:].astype(jnp.bfloat16)
+    wod16 = wod_ref[:].astype(jnp.bfloat16)
+    u = jax.lax.dot_general(wev16, qv16, wdn,
+                            preferred_element_type=jnp.float32)
+    w = jax.lax.dot_general(wod16, qv16, wdn,
+                            preferred_element_type=jnp.float32)
+    sint = sint_ref[:]                       # (Dh, T) fp32
+    cost = cost_ref[:]
+    a = (u * sint + w * cost).astype(jnp.bfloat16)
+    bmat = (w * sint - u * cost).astype(jnp.bfloat16)
+    # bd[h,t,s] = sum_j a[h,j,t] cos_s[s,j] + b[h,j,t] sin_s[s,j]
+    pdn = (((1,), (1,)), ((), ()))           # (h,Dh,T) x (S,Dh) -> (h,T,S)
+    bd = jax.lax.dot_general(a, cos_ref[:].astype(jnp.bfloat16), pdn,
+                             preferred_element_type=jnp.float32)
+    bd = bd + jax.lax.dot_general(bmat, sin_ref[:].astype(jnp.bfloat16), pdn,
+                                  preferred_element_type=jnp.float32)
+    scores = (ac + bd) * (1.0 / math.sqrt(dk_real)) + bias
+    if left >= 0 or right >= 0:
+        scores = jnp.where(_local_mask(t, left, right)[None], scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    return attn, qt, q_vt, kt, vt
+
+
+def _block_fwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
+                      cv_ref, bk_ref, bv_ref, wev_ref, wod_ref, sin_ref,
+                      cos_ref, sint_ref, cost_ref, bias_ref, wo_ref, o_ref,
+                      *, t, dk_real, left, right, hpp, rate,
+                      interpret=False):
+    x16 = x_ref[0].astype(jnp.bfloat16)                # (T, D)
+    attn, _, _, _, vt = _block_scores(
+        x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref, bv_ref,
+        wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref, bias_ref[0],
+        t=t, dk_real=dk_real, left=left, right=right)
+    if rate > 0.0:
+        seed_base = seed_ref[pl.program_id(0), pl.program_id(1) * hpp]
+        keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
+        attn = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
+
+    # ctx[h,t,d] = sum_s attn[h,t,s] v[h,d,s]
+    a16 = attn.astype(jnp.bfloat16)
+    v16 = vt.astype(jnp.bfloat16)
+    adn = (((2,), (2,)), ((0,), (0,)))
+    ctx = jax.lax.dot_general(a16, v16, adn,
+                              preferred_element_type=jnp.float32)
+    # per-head output projection, accumulated over this program's heads
+    ctx16 = ctx.astype(jnp.bfloat16)
+    wo16 = wo_ref[:].astype(jnp.bfloat16)              # (hpp, dk, D)
+    mdn = (((1,), (0,)), ((), ()))
+    out = jax.lax.dot_general(ctx16[0], wo16[0], mdn,
+                              preferred_element_type=jnp.float32)
+    for l in range(1, hpp):
+        out = out + jax.lax.dot_general(ctx16[l], wo16[l], mdn,
+                                        preferred_element_type=jnp.float32)
+    # head-group partials accumulate into ONE (T, D) block: grid dim 1 is
+    # innermost, so the block stays resident across the j sweep (n_g is 1 at
+    # ASR sizes — the accumulate branch only exists for tiny-VMEM fallbacks)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    @pl.when(j != 0)
+    def _():
+        o_ref[0] = (o_ref[0].astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
+                      cv_ref, bk_ref, bv_ref, wev_ref, wod_ref, sin_ref,
+                      cos_ref, sint_ref, cost_ref, bias_ref, wo_ref, g_ref,
+                      dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dwev_ref,
+                      dwod_ref, dcu_ref, dcv_ref, dbk_ref, dbv_ref,
+                      *, t, dk_real, left, right, hpp, rate,
+                      interpret=False):
+    """Flash-style backward: recompute projections + attention in VMEM, emit
+    dx (head-group partial) and per-batch-program weight/bias grad partials
+    (summed over batch outside — the dwev pattern)."""
+    x16 = x_ref[0].astype(jnp.bfloat16)
+    g16 = g_ref[0].astype(jnp.bfloat16)                # (T, D)
+    attn, qt, q_vt, kt, vt = _block_scores(
+        x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref, bv_ref,
+        wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref, bias_ref[0],
+        t=t, dk_real=dk_real, left=left, right=right)
+    if rate > 0.0:
+        seed_base = seed_ref[pl.program_id(0), pl.program_id(1) * hpp]
+        keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
+        attn_d = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        attn_d = attn
+
+    qu16, qv16, k16, v16 = (z.astype(jnp.bfloat16)
+                            for z in (qt, q_vt, kt, vt))
+    a16 = attn_d.astype(jnp.bfloat16)
+    wo16 = wo_ref[:].astype(jnp.bfloat16)              # (hpp, dk, D)
+
+    # recompute ctx for the dWo partial: ctx[h,t,d] = sum_s attn[h,t,s] v[h,d,s]
+    adn = (((2,), (2,)), ((0,), (0,)))
+    ctx = jax.lax.dot_general(a16, v16, adn,
+                              preferred_element_type=jnp.float32)
+    ctx16 = ctx.astype(jnp.bfloat16)
+    # dWo[h,dk,D] = sum_t ctx[h,t,dk] g[t,D]
+    gdn = (((1,), (0,)), ((), ()))           # (h,T,dk) x (T,D) -> (h,dk,D)
+    dwo_ref[0] = jax.lax.dot_general(ctx16, g16, gdn,
+                                     preferred_element_type=jnp.float32)
+    # d_ctx, transposed: (h, dk, T) = (h,dk,D) x (T,D) contracting D
+    ddn = (((2,), (1,)), ((), ()))
+    dctx_t = jax.lax.dot_general(wo16, g16, ddn,
+                                 preferred_element_type=jnp.float32)
+    dct16 = dctx_t.astype(jnp.bfloat16)
+
+    # dattn[h,t,s] = sum_dk dctx_t[h,dk,t] v[h,dk,s]
+    cdn = (((1,), (1,)), ((0,), (0,)))
+    dattn = jax.lax.dot_general(dct16, v16, cdn,
+                                preferred_element_type=jnp.float32)
+    # NOTE: dattn comes out as (h, T, S) with the T axis from dctx_t's lanes
+    if rate > 0.0:
+        dattn = jnp.where(keep, dattn * (1.0 / (1.0 - rate)), 0.0)
+    ds = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+    ds = ds * (1.0 / math.sqrt(dk_real))
+    ds16 = ds.astype(jnp.bfloat16)
+
+    # dv[h,s,dk] = sum_t attn_d[h,t,s] dctx_t[h,dk,t]
+    tdn = (((1,), (2,)), ((0,), (0,)))
+    dvs = jax.lax.dot_general(a16, dct16, tdn,
+                              preferred_element_type=jnp.float32)
+    # dqu[h,t,dk] = sum_s ds[h,t,s] kT[h,dk,s]
+    sdn = (((2,), (2,)), ((0,), (0,)))
+    dqu = jax.lax.dot_general(ds16, k16, sdn,
+                              preferred_element_type=jnp.float32)
+    # dkT via (h,S,dk): dk_[h,s,dk] = sum_t ds[h,t,s] q_uT[h,dk,t]
+    kdn = (((1,), (2,)), ((0,), (0,)))
+    dk_s = jax.lax.dot_general(ds16, qu16, kdn,
+                               preferred_element_type=jnp.float32)
+
+    # position chain (transposed tables): da/db (h, T, Dh)
+    pdn2 = (((2,), (0,)), ((), ()))          # (h,T,S) x (S,Dh) -> (h,T,Dh)
+    cos16 = cos_ref[:].astype(jnp.bfloat16)
+    sin16 = sin_ref[:].astype(jnp.bfloat16)
+    da = jax.lax.dot_general(ds16, cos16, pdn2,
+                             preferred_element_type=jnp.float32)
+    db = jax.lax.dot_general(ds16, sin16, pdn2,
+                             preferred_element_type=jnp.float32)
+    sin_r = sin_ref[:]                       # (T, Dh) fp32, row t
+    cos_r = cos_ref[:]
+    du = (da * sin_r[None] - db * cos_r[None]).astype(jnp.bfloat16)
+    dw = (da * cos_r[None] + db * sin_r[None]).astype(jnp.bfloat16)
+    # dqv[h,t,dk] = sum_j du[h,t,j] wev[h,dk,j] (+ wod term)
+    qdn = (((2,), (2,)), ((0,), (0,)))
+    wev16 = wev_ref[:].astype(jnp.bfloat16)
+    wod16 = wod_ref[:].astype(jnp.bfloat16)
+    dqv = jax.lax.dot_general(du, wev16, qdn,
+                              preferred_element_type=jnp.float32)
+    dqv = dqv + jax.lax.dot_general(dw, wod16, qdn,
+                                    preferred_element_type=jnp.float32)
+    # dWev[h,dk,j] = sum_t q_vT[h,dk,t] du[h,t,j]
+    vdn = (((2,), (1,)), ((0,), (0,)))
+    dwev_ref[0] = jax.lax.dot_general(qv16, du, vdn,
+                                      preferred_element_type=jnp.float32)
+    dwod_ref[0] = jax.lax.dot_general(qv16, dw, vdn,
+                                      preferred_element_type=jnp.float32)
+
+    dq = dqu + dqv                                     # (h, T, dk)
+    dq16 = dq.astype(jnp.bfloat16)
+    dks16 = dk_s.astype(jnp.bfloat16)
+    dvs16 = dvs.astype(jnp.bfloat16)
+
+    # dx = sum_h dq_h Wq_h^T + dk_h Wk_h^T + dv_h Wv_h^T   (T, D)
+    wq16 = wq_ref[:].astype(jnp.bfloat16)              # (h, D, dk)
+    wk16 = wk_ref[:].astype(jnp.bfloat16)
+    wv16 = wv_ref[:].astype(jnp.bfloat16)
+    xdn = (((1,), (1,)), ((), ()))           # (T,dk) x (D,dk) -> (T,D)
+    dx = jax.lax.dot_general(dq16[0], wq16[0], xdn,
+                             preferred_element_type=jnp.float32)
+    dx = dx + jax.lax.dot_general(dks16[0], wk16[0], xdn,
+                                  preferred_element_type=jnp.float32)
+    dx = dx + jax.lax.dot_general(dvs16[0], wv16[0], xdn,
+                                  preferred_element_type=jnp.float32)
+    for l in range(1, hpp):
+        dx = dx + jax.lax.dot_general(dq16[l], wq16[l], xdn,
+                                      preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(dks16[l], wk16[l], xdn,
+                                      preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(dvs16[l], wv16[l], xdn,
+                                      preferred_element_type=jnp.float32)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(j != 0)
+    def _():
+        dx_ref[0] = (dx_ref[0].astype(jnp.float32) + dx).astype(dx_ref.dtype)
+
+    # weight grad partials: dWq[h,dk,D] = sum_t dq[h,t,dk] x[t,D]
+    wgd = (((1,), (0,)), ((), ()))           # (h,T,dk) x (T,D) -> (h,dk,D)
+    dwq_ref[0] = jax.lax.dot_general(dq16, x16, wgd,
+                                     preferred_element_type=jnp.float32)
+    dwk_ref[0] = jax.lax.dot_general(dks16, x16, wgd,
+                                     preferred_element_type=jnp.float32)
+    dwv_ref[0] = jax.lax.dot_general(dvs16, x16, wgd,
+                                     preferred_element_type=jnp.float32)
+    # bias grad partials (summed over T; padded rows contribute 0 through
+    # the zero-padded g)
+    dcu_ref[0] = jnp.sum(dqu, axis=1)
+    dcv_ref[0] = jnp.sum(dqv, axis=1)
+    dbk_ref[0] = jnp.sum(dk_s, axis=1)
+    dbv_ref[0] = jnp.sum(dvs, axis=1)
+
+
+def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk):
+    """Heads per program for the block kernels, ~20 MB fp32 budget."""
+    hpp = h
+    while hpp > 1 and hpp * (n_tt * tp * tp + n_tdh * tp * half
+                             + n_tdk * tp * dk) * 4 > 20 * 2 ** 20:
+        hpp //= 2
+    while h % hpp:
+        hpp -= 1
+    return hpp
+
+
+def _block_pad(x, sin_t, cos_t, key_bias):
+    b, t, d = x.shape
+    tp = _round_up(t, LANE)
+    x_p = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    pad_tab = lambda z: jnp.pad(z, ((0, tp - t), (0, 0)))
+    sin_p, cos_p = pad_tab(sin_t), pad_tab(cos_t)
+    sint_p = jnp.transpose(sin_p)                     # (Dh, tp) constants
+    cost_p = jnp.transpose(cos_p)
+    bias = jnp.pad(key_bias, ((0, 0), (0, tp - t)), constant_values=-1e30)
+    bias = bias[:, None, None, :]                     # (B, 1, 1, tp)
+    return x_p, sin_p, cos_p, sint_p, cost_p, bias, tp
+
+
+def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
+                  key_bias, seed_rows, att_context_size, dropout_rate,
+                  interpret):
+    b, t, d = x.shape
+    h, _, dk = wq.shape
+    half = wev.shape[-1]
+    x_p, sin_p, cos_p, sint_p, cost_p, bias, tp = _block_pad(
+        x, sin_t, cos_t, key_bias)
+    hpp = _pick_hpp_block(h, tp, dk, half, n_tt=3, n_tdh=6, n_tdk=8)
+    n_g = h // hpp
+
+    kernel = functools.partial(_block_fwd_kernel, t=tp, dk_real=dk,
+                               left=att_context_size[0],
+                               right=att_context_size[1], hpp=hpp,
+                               rate=dropout_rate, interpret=interpret)
+    x_spec = pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((hpp, d, dk), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((hpp, dk, 1), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((hpp, dk, half), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((tp, half), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    tt_spec = pl.BlockSpec((half, tp), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((hpp, dk, d), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_g),
+        in_specs=[
+            pl.BlockSpec((b, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            x_spec, w_spec, w_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
+            p_spec, p_spec, t_spec, t_spec, tt_spec, tt_spec,
+            pl.BlockSpec((1, 1, 1, tp), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            o_spec,
+        ],
+        out_specs=pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * tp * (tp * dk * 2 + tp * half * 2
+                                    + d * dk * 4 + dk * half * 2),
+            bytes_accessed=2 * b * tp * d * (1 + n_g),
+            transcendentals=b * h * tp * tp,
+        ),
+        interpret=interpret,
+    )(seed_rows, x_p, wq, wk, wv, cu, cv, bk, bv, wev, wod,
+      sin_p, cos_p, sint_p, cost_p, bias, wo)
+    return out
+
+
+def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
+                      cos_t, key_bias, seed_rows, g, att_context_size,
+                      dropout_rate, interpret):
+    b, t, d = x.shape
+    h, _, dk = wq.shape
+    half = wev.shape[-1]
+    x_p, sin_p, cos_p, sint_p, cost_p, bias, tp = _block_pad(
+        x, sin_t, cos_t, key_bias)
+    hpp = _pick_hpp_block(h, tp, dk, half, n_tt=4, n_tdh=8, n_tdk=12)
+    n_g = h // hpp
+    g_p = jnp.pad(g.astype(x.dtype), ((0, 0), (0, tp - t), (0, 0)))
+
+    kernel = functools.partial(_block_bwd_kernel, t=tp, dk_real=dk,
+                               left=att_context_size[0],
+                               right=att_context_size[1], hpp=hpp,
+                               rate=dropout_rate, interpret=interpret)
+    x_spec = pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((hpp, d, dk), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((hpp, dk, 1), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((hpp, dk, half), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((tp, half), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    tt_spec = pl.BlockSpec((half, tp), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((hpp, dk, d), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dxd = jax.ShapeDtypeStruct((b, tp, d), x.dtype)
+    dwd = jax.ShapeDtypeStruct((b, h, dk, d), jnp.float32)
+    dpd = jax.ShapeDtypeStruct((b, h, dk, half), jnp.float32)
+    dcd = jax.ShapeDtypeStruct((b, h, dk), jnp.float32)
+    dw_spec = pl.BlockSpec((1, hpp, dk, d), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dp_spec = pl.BlockSpec((1, hpp, dk, half), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dc_spec = pl.BlockSpec((1, hpp, dk), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_g),
+        in_specs=[
+            pl.BlockSpec((b, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            x_spec, w_spec, w_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
+            p_spec, p_spec, t_spec, t_spec, tt_spec, tt_spec,
+            pl.BlockSpec((1, 1, 1, tp), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            o_spec, g_spec,
+        ],
+        out_specs=(pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   dw_spec, dw_spec, dw_spec, dw_spec, dp_spec, dp_spec,
+                   dc_spec, dc_spec, dc_spec, dc_spec),
+        out_shape=(dxd, dwd, dwd, dwd, dwd, dpd, dpd, dcd, dcd, dcd, dcd),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tp * (tp * dk * 2 + tp * half * 2
+                                    + d * dk * 4 + dk * half * 2),
+            bytes_accessed=4 * b * tp * d * (1 + n_g),
+            transcendentals=b * h * tp * tp,
+        ),
+        interpret=interpret,
+    )(seed_rows, x_p, wq, wk, wv, cu, cv, bk, bv, wev, wod,
+      sin_p, cos_p, sint_p, cost_p, bias, wo, g_p)
+
+
+# partition factors for the block kernels ('b' batch, 'h' heads)
+_BLK_X = ("b", None, None)
+_BLK_W = ("h", None, None)
+_BLK_ARGS = (_BLK_X, _BLK_W, _BLK_W, _BLK_W, _BLK_W, _BLK_W, _BLK_W,
+             _BLK_W, _BLK_W, _BLK_W, _BLK_W, _TAB, _TAB, ("b", None),
+             ("b", "h"))
+# the (B, T, D) outputs CONTRACT the head factor (row-parallel output
+# projection): under head sharding each shard holds a partial sum and the
+# partition lowering inserts the psum (factor_partitioned reduce_factors)
+_BLK_OUT = (("b", None, None),)
+_BLK_BWD_ARGS = _BLK_ARGS + (("b", None, None),)
+_BLK_BWD_OUTS = (("b", None, None),) + (("b", "h", None, None),) * 6 \
+    + (("b", "h", None),) * 4
+
+
+@functools.lru_cache(maxsize=None)
+def _block_fwd_partitioned(att_context_size, dropout_rate, interpret):
+    from tpu_asr.parallel.kernel_sharding import factor_partitioned
+
+    def fun(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
+            key_bias, seed_rows):
+        return _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo,
+                             sin_t, cos_t, key_bias, seed_rows,
+                             att_context_size, dropout_rate, interpret)
+
+    return factor_partitioned(fun, _BLK_ARGS, _BLK_OUT, tuple_out=False,
+                              reduce_factors=("h",))
+
+
+@functools.lru_cache(maxsize=None)
+def _block_bwd_partitioned(att_context_size, dropout_rate, interpret):
+    from tpu_asr.parallel.kernel_sharding import factor_partitioned
+
+    def fun(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
+            key_bias, seed_rows, g):
+        return _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod,
+                                 wo, sin_t, cos_t, key_bias, seed_rows, g,
+                                 att_context_size, dropout_rate, interpret)
+
+    return factor_partitioned(fun, _BLK_BWD_ARGS, _BLK_BWD_OUTS,
+                              tuple_out=True, reduce_factors=("h",))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+def _block_core(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
+                key_bias, seed_rows, att_context_size, dropout_rate,
+                interpret):
+    return _block_fwd_partitioned(att_context_size, dropout_rate, interpret)(
+        x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
+        key_bias, seed_rows)
+
+
+def _block_core_fwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
+                    cos_t, key_bias, seed_rows, att_context_size,
+                    dropout_rate, interpret):
+    out = _block_fwd_partitioned(att_context_size, dropout_rate, interpret)(
+        x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
+        key_bias, seed_rows)
+    return out, (x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
+                 key_bias, seed_rows)
+
+
+def _block_core_bwd(att_context_size, dropout_rate, interpret, res, g):
+    (x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t, key_bias,
+     seed_rows) = res
+    (dx, dwq_b, dwk_b, dwv_b, dwo_b, dwev_b, dwod_b, dcu_b, dcv_b, dbk_b,
+     dbv_b) = _block_bwd_partitioned(att_context_size, dropout_rate,
+                                     interpret)(
+        x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
+        key_bias, seed_rows, g)
+    # per-batch partials -> weight grads (psum over 'b' under GSPMD);
+    # kernel emits dW as (h, dk, D) — transpose to the (h, D, dk) operands
+    wgrad = lambda p: jnp.transpose(jnp.sum(p, axis=0), (0, 2, 1))
+    cgrad = lambda p: jnp.sum(p, axis=0)[:, :, None]
+    t = x.shape[1]
+    dx_sum = dx[:, :t].astype(x.dtype)
+    return (dx_sum, wgrad(dwq_b).astype(wq.dtype),
+            wgrad(dwk_b).astype(wk.dtype), wgrad(dwv_b).astype(wv.dtype),
+            cgrad(dcu_b).astype(cu.dtype), cgrad(dcv_b).astype(cv.dtype),
+            cgrad(dbk_b).astype(bk.dtype), cgrad(dbv_b).astype(bv.dtype),
+            jnp.sum(dwev_b, axis=0).astype(wev.dtype),
+            jnp.sum(dwod_b, axis=0).astype(wod.dtype),
+            jnp.sum(dwo_b, axis=0).astype(wo.dtype),
+            jnp.zeros_like(sin_t), jnp.zeros_like(cos_t),
+            jnp.zeros_like(key_bias),
+            np.zeros(seed_rows.shape, jax.dtypes.float0))
+
+
+_block_core.defvjp(_block_core_fwd, _block_core_bwd)
+
+
+def fused_relpos_attention_block(
+    x: jnp.ndarray,              # (B, T, D) post-LN attention input
+    wq_full: jnp.ndarray,        # (D, D) linear_q kernel
+    bq: jnp.ndarray,             # (D,)
+    wk_full: jnp.ndarray,        # (D, D) linear_k kernel
+    bk_full: jnp.ndarray,        # (D,)
+    wv_full: jnp.ndarray,        # (D, D) linear_v kernel
+    bv_full: jnp.ndarray,        # (D,)
+    bias_u: jnp.ndarray,         # (H, dk) rel-pos content bias
+    bias_v: jnp.ndarray,         # (H, dk) rel-pos position bias
+    pos_kernel: jnp.ndarray,     # (D, H, dk) linear_pos weight, per head
+    wo_full: jnp.ndarray,        # (D, D) linear_out kernel
+    mask: jnp.ndarray,           # (B, T) bool, True = valid
+    n_heads: int,
+    att_context_size: Tuple[int, int] = (-1, -1),
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-sublayer fused attention: (B, T, D) in -> (B, T, D) out,
+    WITHOUT the linear_out bias (the caller adds it — keeps the bias's
+    gradient on the plain-JAX side). Padded/masked-key columns never
+    contribute; padded-query rows are garbage and must be re-masked by the
+    caller (the ConformerLayer contract, same as fused_relpos_attention).
+
+    All (D, D) kernels arrive in the checkpoint layout (Dense (in, out));
+    per-head splits/permutations happen here on the tiny parameters, outside
+    the custom_vjp, so autodiff routes grads back to the full kernels."""
+    b, t, d = x.shape
+    h = n_heads
+    dk = d // h
+    cdt = x.dtype
+    sin_t, cos_t, _ = position_tables(t, d)
+
+    per_head = lambda w: jnp.transpose(w.reshape(d, h, dk),
+                                       (1, 0, 2)).astype(cdt)
+    wq, wk, wv = per_head(wq_full), per_head(wk_full), per_head(wv_full)
+    wo = wo_full.reshape(h, dk, d).astype(cdt)
+    f32 = jnp.float32
+    cu = (bq.reshape(h, dk) + bias_u).astype(f32)[:, :, None]
+    cv = (bq.reshape(h, dk) + bias_v).astype(f32)[:, :, None]
+    bk3 = bk_full.reshape(h, dk).astype(f32)[:, :, None]
+    bv3 = bv_full.reshape(h, dk).astype(f32)[:, :, None]
+    wev = jnp.transpose(pos_kernel[0::2], (1, 2, 0)).astype(cdt)
+    wod = jnp.transpose(pos_kernel[1::2], (1, 2, 0)).astype(cdt)
+
+    key_bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    if dropout_seed is None:
+        seed_rows = jnp.zeros((b, h), jnp.int32)
+    else:
+        base = jnp.reshape(dropout_seed.astype(jnp.int32), (-1,))[0]
+        seed_rows = (base + jnp.arange(b, dtype=jnp.int32)[:, None] * h
+                     + jnp.arange(h, dtype=jnp.int32)[None, :])
+    out = _block_core(x, wq, wk, wv, cu, cv, bk3, bv3, wev, wod, wo,
+                      sin_t, cos_t, key_bias, seed_rows,
+                      tuple(att_context_size), float(dropout_rate),
+                      interpret)
+    return out[:, :t].astype(cdt)

@@ -95,10 +95,19 @@ def _rule(arg_factors: Sequence[Factors], out_factors: Sequence[Factors]):
 
 
 def factor_partitioned(fun: Callable, arg_factors: Sequence[Factors],
-                       out_factors: Sequence[Factors], tuple_out: bool):
+                       out_factors: Sequence[Factors], tuple_out: bool,
+                       reduce_factors: Tuple[str, ...] = ()):
     """Wrap `fun(*tensor_args) -> array-or-tuple` with factor-labeled
     partition rules. Static configuration must already be closed over in
-    `fun`."""
+    `fun`.
+
+    `reduce_factors`: factors that are CONTRACTED into some outputs (the
+    einsum-reduction case — e.g. the block attention kernel sums per-head
+    output projections into one (B, T, D) result). When such a factor is
+    sharded on a mesh axis, each shard computes a PARTIAL sum over its local
+    factor slice, and the per-shard lowering inserts a psum over that axis
+    for every output whose factor list does not carry the factor — the
+    row-parallel (Megatron-style) all-reduce, expressed through GSPMD."""
 
     cp = custom_partitioning(fun)
 
@@ -112,7 +121,22 @@ def factor_partitioned(fun: Callable, arg_factors: Sequence[Factors],
         arg_sh = tuple(_shardings(mesh, arg_factors, axes))
         out_sh = _shardings(mesh, out_factors, axes)
         out_sh = tuple(out_sh) if tuple_out else out_sh[0]
-        return mesh, fun, out_sh, arg_sh
+
+        lowering = fun
+        if reduce_factors:
+            import jax
+
+            def lowering(*args):
+                res = fun(*args)
+                seq = res if isinstance(res, tuple) else (res,)
+                out = []
+                for r, factors in zip(seq, out_factors):
+                    red = tuple(axes[f] for f in reduce_factors
+                                if f in axes and f not in factors)
+                    out.append(jax.lax.psum(r, red) if red else r)
+                return tuple(out) if isinstance(res, tuple) else out[0]
+
+        return mesh, lowering, out_sh, arg_sh
 
     cp.def_partition(partition=part, infer_sharding_from_operands=infer,
                      sharding_rule=_rule(arg_factors, out_factors),
