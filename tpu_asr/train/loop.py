@@ -23,12 +23,13 @@ import numpy as np
 
 from tpu_asr.config import TrainConfig
 from tpu_asr.data.dataset import (AudioToBPEDataset, make_dataloader,
-                                  prefetch_to_device)
+                                  prefetch_to_device, stack_batches)
 from tpu_asr.data.tokenizer import SentencePieceBPETokenizer
 from tpu_asr.models.distil_model import DistilCTCModel
 from tpu_asr.parallel.mesh import cross_process_sum, make_mesh, replicated
 from tpu_asr.train.optim import build_optimizer
 from tpu_asr.train.trainer import (DistilTrainState, make_distil_eval_step,
+                                   make_distil_multi_step,
                                    make_distil_train_step)
 from tpu_asr.utils.checkpoint import (install_preemption_handler, rotate_last,
                                       restore_train_state, save_train_state)
@@ -80,6 +81,7 @@ class Trainer:
         # on the train batch every N steps); 0 disables
         self.train_wer_every = train_wer_every
         self._train_step = jax.jit(make_distil_train_step(model))
+        self._multi_step = jax.jit(make_distil_multi_step(model))
         self._eval_step = jax.jit(make_distil_eval_step(model))
         self.state: Optional[DistilTrainState] = None
 
@@ -154,16 +156,28 @@ class Trainer:
         for epoch in range(cfg.max_epochs):
             if done:
                 break
-            loader = prefetch_to_device(
-                make_dataloader(dataset, cfg.train_ds, epoch=epoch,
-                                **loader_kw),
-                self.mesh)
+            raw = make_dataloader(dataset, cfg.train_ds, epoch=epoch,
+                                  **loader_kw)
+            spd = max(1, cfg.steps_per_dispatch)
+            if spd > 1:
+                raw = stack_batches(raw, spd)
+            loader = prefetch_to_device(raw, self.mesh)
             for batch in loader:
                 texts = batch.pop("texts", None)
-                self.state, metrics = self._train_step(self.state, batch,
-                                                       base_rng)
+                if batch.pop("_steps", False):
+                    # K steps in one device dispatch; log the dispatch's
+                    # last-step metrics when a log boundary was crossed
+                    self.state, metrics = self._multi_step(self.state, batch,
+                                                           base_rng)
+                    metrics = jax.tree.map(lambda m: m[-1], metrics)
+                    n_done = spd
+                else:
+                    self.state, metrics = self._train_step(self.state, batch,
+                                                           base_rng)
+                    n_done = 1
                 step = int(self.state.step)
-                if step % self.log_every == 0 or step == 1:
+                if (step // self.log_every != (step - n_done) // self.log_every
+                        or step == n_done):
                     metrics = jax.device_get(metrics)
                     metrics["epoch"] = epoch
                     metrics["steps_per_sec"] = step / max(

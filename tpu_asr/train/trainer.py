@@ -90,6 +90,31 @@ def make_distil_train_step(model: DistilCTCModel):
     return train_step
 
 
+def make_distil_multi_step(model: DistilCTCModel):
+    """Multi-step-per-dispatch training: `multi_step(state, batches,
+    base_rng)` runs K optimizer steps back-to-back ON DEVICE via `lax.scan`,
+    where every leaf of `batches` is stacked (K, ...) along a leading steps
+    axis. Returns (state after K steps, metrics stacked (K,)).
+
+    Semantically identical to K sequential `train_step` calls: per-step
+    randomness comes from folding `base_rng` with `state.step`, which the
+    scan carry increments — the same stream a per-call loop produces
+    (tests/test_trainer_multi_step.py pins the equivalence). What it buys on
+    TPU: one dispatch per K steps amortizes host/dispatch latency (~1 ms per
+    call through the axon dev tunnel) and removes host-loop gaps between
+    steps; the device runs the K-step program uninterrupted. Use via
+    `TrainConfig.steps_per_dispatch` (train/loop.py stacks loader batches)."""
+    train_step = make_distil_train_step(model)
+
+    def multi_step(state: DistilTrainState, batches: Dict[str, jnp.ndarray],
+                   base_rng: jax.Array):
+        def body(st, batch):
+            return train_step(st, batch, base_rng)
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
 def make_distil_eval_step(model: DistilCTCModel):
     """eval_step(state, batch) -> (metrics, decoded tokens + lengths).
 
