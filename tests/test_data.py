@@ -431,3 +431,48 @@ def test_native_wav_decoder_matches_python_oracle(tmp_path):
         want, sr2 = read_wav_python(raw)
         assert sr == sr2
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_dataloader_bucketing_batch_size(tmp_path):
+    """NeMo bucketing_batch_size: per-bucket batch sizes (list), or one int
+    auto-scaled inversely with the bucket duration cap (~constant audio
+    seconds per batch)."""
+    from tpu_asr.data.dataset import make_dataloader
+    from tpu_asr.data.tokenizer import train_bpe
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(12):                     # 6 short (0.5 s) + 6 long (1.9 s)
+        dur = 0.5 if i < 6 else 1.9
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, (rng.normal(size=int(16000 * dur)) * 0.1)
+                  .astype(np.float32), 16000)
+        entries.append(ManifestEntry(str(p), dur, f"utt number {i}"))
+    man = tmp_path / "m.jsonl"
+    write_manifest(man, entries)
+    tok = train_bpe(["utt number 0 1 2 3 4"] * 3, vocab_size=32)
+    ds = AudioToBPEDataset(str(man), tok, 16000, 0.1, 2.0)
+
+    # explicit list: bucket 0 (short) batches of 6, bucket 1 (long) of 2
+    batches = list(make_dataloader(
+        ds, DataConfig(batch_size=4, num_buckets=2, max_duration=2.0,
+                       bucketing_batch_size=[6, 2], shuffle=False)))
+    sizes = sorted(b["signal"].shape for b in batches)
+    assert [s[0] for s in sizes] == [2, 2, 2, 6]
+
+    # int: auto-scale by cap ratio — bucket 0 cap 1.0 s -> 2x batch
+    batches = list(make_dataloader(
+        ds, DataConfig(batch_size=4, num_buckets=2, max_duration=2.0,
+                       bucketing_batch_size=3, shuffle=False)))
+    by_len = {}
+    for b in batches:
+        by_len.setdefault(b["signal"].shape[1], []).append(b["signal"].shape[0])
+    short_len, long_len = sorted(by_len)
+    assert max(by_len[short_len]) == 6      # 3 * (2.0 / 1.0)
+    assert max(by_len[long_len]) == 3
+
+    # mismatched list length raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(make_dataloader(
+            ds, DataConfig(batch_size=4, num_buckets=2, max_duration=2.0,
+                           bucketing_batch_size=[1, 2, 3], shuffle=False)))

@@ -324,6 +324,11 @@ class DataConfig:
     max_duration: float = 16.7
     min_duration: float = 0.1
     num_buckets: int = 8
+    # NeMo bucketing_batch_size (ctc_bpe_models.py:98-215 loader factory):
+    # per-bucket batch sizes, one per bucket (list) or one int auto-scaled
+    # inversely with the bucket's duration cap (shorter utterances -> bigger
+    # batches, ~constant audio-seconds per batch). None = flat batch_size.
+    bucketing_batch_size: Optional[Any] = None
     seed: int = 42
 
 

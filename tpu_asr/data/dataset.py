@@ -107,11 +107,27 @@ def make_dataloader(dataset: AudioToBPEDataset, cfg: DataConfig,
     for idx, b in zip(order, bucket_of):
         buckets[b].append(int(idx))
 
+    # per-bucket batch sizes (NeMo bucketing_batch_size): a list gives one
+    # size per bucket; a single int auto-scales inversely with the bucket's
+    # duration cap (~constant audio-seconds per batch); None = flat
+    bbs = getattr(cfg, "bucketing_batch_size", None)
+    if bbs is None:
+        sizes = [cfg.batch_size] * len(edges)
+    elif isinstance(bbs, int):
+        sizes = [max(1, int(round(bbs * edges[-1] / e))) for e in edges]
+    else:
+        if len(bbs) != len(edges):
+            raise ValueError(
+                f"bucketing_batch_size has {len(bbs)} entries for "
+                f"{len(edges)} buckets")
+        sizes = [int(v) for v in bbs]
+
     batches: List[tuple] = []   # (bucket_id, [indices])
     for b, idxs in enumerate(buckets):
-        for s in range(0, len(idxs), cfg.batch_size):
-            chunk = idxs[s:s + cfg.batch_size]
-            if drop_last and len(chunk) < cfg.batch_size:
+        bs = sizes[b]
+        for s in range(0, len(idxs), bs):
+            chunk = idxs[s:s + bs]
+            if drop_last and len(chunk) < bs:
                 continue
             batches.append((b, chunk))
     if cfg.shuffle:
