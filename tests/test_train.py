@@ -218,3 +218,41 @@ def test_stack_batches_groups_by_shape_and_flushes_tail():
     assert sum(1 for o in out if o.get("_steps")) == 1
     tail = [o for o in out if not o.get("_steps")]
     assert len(tail) == 1 and tail[0]["signal"].shape == (2, 16)
+
+
+def test_dp_multi_step_on_virtual_mesh():
+    """Multi-step dispatch under data parallelism: the stacked (K, B, ...)
+    batch shards its SECOND axis over `data` (prefetch_to_device contract);
+    K optimizer steps run in one program on the sharded mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_asr.train.trainer import make_distil_multi_step
+
+    model, variables, batch = _setup(batch=8, samples=8000)
+    k = 2
+    rng_np = np.random.default_rng(2)
+    batches = {
+        "signal": jnp.asarray(
+            rng_np.normal(size=(k, 8, 8000)).astype(np.float32) * 0.1),
+        "signal_len": jnp.broadcast_to(batch["signal_len"][None], (k, 8)),
+        "tokens": jnp.broadcast_to(batch["tokens"][None], (k, 8, 6)),
+        "token_len": jnp.broadcast_to(batch["token_len"][None], (k, 8)),
+    }
+
+    mesh = make_mesh(dp_size=8)
+    repl = replicated(mesh)
+    ssh = NamedSharding(mesh, P(None, "data"))
+
+    tx = build_optimizer(OptimConfig(lr=1e-3, sched_name="none", d_model=16),
+                         variables["params"])
+    state = DistilTrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=tx)
+    state = jax.device_put(state, repl)
+    batches = {n: jax.device_put(v, ssh) for n, v in batches.items()}
+
+    multi = jax.jit(make_distil_multi_step(model))
+    new_state, metrics = multi(state, batches,
+                               jax.device_put(jax.random.PRNGKey(0), repl))
+    assert int(new_state.step) == k
+    assert np.all(np.isfinite(np.asarray(metrics["loss/total"])))
