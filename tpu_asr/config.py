@@ -115,6 +115,11 @@ class EncoderConfig:
     # conv-module backend: 'auto' fuses the whole module into one Pallas
     # kernel for deterministic (inference) passes on TPU (ops/pallas_conv.py)
     conv_backend: str = "auto"
+    # FFN-sublayer backend: 'pallas' fuses LN + linear1 + SiLU + linear2 +
+    # the 0.5 residual into one kernel for deterministic passes
+    # (ops/pallas_ffn.py); 'auto' currently resolves to 'xla' pending a
+    # measured win (the measured-not-assumed contract)
+    ffn_backend: str = "auto"
     # rematerialize each conformer layer in the backward pass
     # (jax.checkpoint). On TPU this model is HBM-bandwidth-bound, so
     # recomputing the layer is FASTER than stashing+reloading activations

@@ -527,7 +527,18 @@ class FeedForward(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 fused_ln=None) -> jnp.ndarray:
+        """`fused_ln=(scale, bias)` routes the WHOLE sublayer (LN + FFN +
+        0.5 residual, x being the pre-LN input) through the fused Pallas
+        kernel (ops/pallas_ffn.py, eval path); params keep the nn.Dense
+        paths either way."""
+        if fused_ln is not None:
+            w1, b1 = _DenseParams(self.d_ff, self.d_model, name="linear1")()
+            w2, b2 = _DenseParams(self.d_model, self.d_ff, name="linear2")()
+            from tpu_asr.ops.pallas_ffn import fused_ffn_sublayer
+            return fused_ffn_sublayer(x.astype(self.dtype), fused_ln[0],
+                                      fused_ln[1], w1, b1, w2, b2)
         h = nn.Dense(self.d_ff, dtype=self.dtype, name="linear1")(x)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
@@ -556,10 +567,19 @@ class ConformerLayer(nn.Module):
         c = self.cfg
         det = not train
         drop = lambda h: nn.Dropout(c.dropout, deterministic=det)(h)
+        # fused FFN sublayer kernel: eval-only (no dropout/autodiff), opt-in
+        # until measured faster (config.py ffn_backend)
+        ffn_fused = (c.ffn_backend == "pallas" and det
+                     and cache is None)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_feed_forward1")(x)
-        h = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype, name="feed_forward1")(h, det)
-        x = x + 0.5 * drop(h)
+        if ffn_fused:
+            s1, sb1 = _ScaleBias(c.d_model, name="norm_feed_forward1")()
+            x = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype,
+                            name="feed_forward1")(x, det, fused_ln=(s1, sb1))
+        else:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm_feed_forward1")(x)
+            h = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype, name="feed_forward1")(h, det)
+            x = x + 0.5 * drop(h)
 
         lc, lc_len, lt = cache if cache is not None else (None, None, None)
         h = nn.LayerNorm(dtype=self.dtype, name="norm_self_att")(x)
@@ -584,9 +604,14 @@ class ConformerLayer(nn.Module):
             h, new_lt = h
         x = x + drop(h)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_feed_forward2")(x)
-        h = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype, name="feed_forward2")(h, det)
-        x = x + 0.5 * drop(h)
+        if ffn_fused:
+            s2, sb2 = _ScaleBias(c.d_model, name="norm_feed_forward2")()
+            x = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype,
+                            name="feed_forward2")(x, det, fused_ln=(s2, sb2))
+        else:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm_feed_forward2")(x)
+            h = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype, name="feed_forward2")(h, det)
+            x = x + 0.5 * drop(h)
 
         x = nn.LayerNorm(dtype=self.dtype, name="norm_out")(x)
         x = jnp.where(mask[..., None], x, 0.0)
