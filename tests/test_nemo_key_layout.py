@@ -22,6 +22,7 @@ square-ish dims. This file de-circularizes two ways:
    leaf cannot cancel out the way toy square dims allow.
 """
 
+import dataclasses
 import tarfile
 
 import jax
@@ -202,4 +203,55 @@ def test_teacher_dims_end_to_end_logit_parity(teacher_oracle, tmp_path):
     max_abs = float(np.max(np.abs(got - ref)))
     assert max_abs < 2e-3, f"max |delta log-prob| = {max_abs}"
     # greedy decisions must agree everywhere
+    np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+
+
+def test_teacher_dims_pallas_stack_logit_parity(teacher_oracle, monkeypatch):
+    """The PRODUCTION kernel stack (block-fused attention + fused conv module
+    + fused FFN sublayer, interpret mode standing in for Mosaic) against the
+    torch oracle end-to-end at real teacher dims: the kernels' bf16 operand
+    rounding must not change greedy decisions, and log-probs stay close."""
+    import tpu_asr.ops.pallas_attention as pa
+    import tpu_asr.ops.pallas_conv as pc
+    import tpu_asr.ops.pallas_ffn as pf
+
+    for mod, name in ((pa, "fused_relpos_attention_block"),
+                      (pc, "fused_conv_module"),
+                      (pf, "fused_ffn_sublayer")):
+        orig = getattr(mod, name)
+        monkeypatch.setattr(mod, name, (lambda o: lambda *a, **kw: o(
+            *a, **{**kw, "interpret": True}))(orig))
+
+    cfg = _teacher_cfg()
+    cfg = dataclasses.replace(cfg, encoder=dataclasses.replace(
+        cfg.encoder, attention_backend="pallas", conv_backend="pallas",
+        ffn_backend="pallas"))
+
+    sd = dict(teacher_oracle.state_dict())
+    params, batch_stats = convert_state_dict(sd, cfg)
+
+    sr = 16000
+    tax = np.arange(2 * sr) / sr
+    sig = sum(a * np.sin(2 * np.pi * f * tax) for a, f in
+              [(0.4, 233.0), (0.25, 610.0), (0.15, 1497.0)])
+    sig = (sig * np.minimum(1.0, 8.0 * tax)).astype(np.float32)[None]
+    sig_len = np.asarray([sig.shape[1]], np.int32)
+
+    feat = FilterbankFeatures(cfg.preprocessor)
+    feats, feat_len = feat(jax.numpy.asarray(sig),
+                           jax.numpy.asarray(sig_len), train=False)
+    with torch.no_grad():
+        ref_logp, _ = teacher_oracle(torch.tensor(np.asarray(feats)))
+
+    model = CTCModel(cfg)
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      feats, feat_len, train=False,
+                      method=model.forward_features)
+    got = np.asarray(out.log_probs)
+    ref = ref_logp.numpy()
+    assert got.shape == ref.shape
+    # bf16 kernel operands vs the fp32 torch oracle: log-prob deltas grow
+    # with depth but decisions must not flip
+    max_abs = float(np.max(np.abs(got - ref)))
+    assert max_abs < 0.1, f"max |delta log-prob| = {max_abs}"
     np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
