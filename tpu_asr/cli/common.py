@@ -77,6 +77,9 @@ def add_common_data_args(p: argparse.ArgumentParser):
     p.add_argument("--data_val_split", type=str, default="dev.clean")
     p.add_argument("--data_test_split", type=str, default="test.clean")
     p.add_argument("--test_mode", action="store_true")
+    # framework knob (no reference equivalent): K optimizer steps per device
+    # dispatch — lax.scan over stacked same-bucket batches (TrainConfig)
+    p.add_argument("--steps_per_dispatch", type=int, default=1)
     # offline extensions
     p.add_argument("--train_manifest", type=str, default=None)
     p.add_argument("--val_manifest", type=str, default=None)
@@ -375,6 +378,7 @@ def run_training(args, corpus: str = "librispeech",
         validation_ds=DataConfig(shuffle=False, **ds_cfg),
         test_ds=DataConfig(shuffle=False, **ds_cfg),
         max_epochs=args.epochs,
+        steps_per_dispatch=args.steps_per_dispatch,
         dp_size=args.gpus if args.gpus and args.gpus > 0 else -1)
 
     workdir = Path(args.output_dir) / (os.getenv("EXP_NAME") or "run")
