@@ -201,11 +201,16 @@ def main() -> None:
             return c, (jnp.sum(tokens), jnp.sum(n_tokens))
         return jax.lax.scan(body, 0, sigs)[1]
 
-    jax.block_until_ready(infer_scan(sigs, signal_len))
-    start = time.perf_counter()
-    r = infer_scan(sigs, signal_len)
-    jax.block_until_ready(r)
-    elapsed = time.perf_counter() - start
+    try:
+        jax.block_until_ready(infer_scan(sigs, signal_len))
+        start = time.perf_counter()
+        r = infer_scan(sigs, signal_len)
+        jax.block_until_ready(r)
+        elapsed = time.perf_counter() - start
+    except Exception as e:                    # headline must always print
+        print(json.dumps({"metric": "sustained-scan fallback",
+                          "error": str(e)[:200]}))
+        # keep the per-dispatch measurement as the headline
     rtfx = audio_seconds / elapsed
 
     # MFU vs the chip's dense bf16 peak (utils/flops.py) — roofline context
