@@ -202,10 +202,14 @@ def main() -> None:
         return jax.lax.scan(body, 0, sigs)[1]
 
     try:
-        jax.block_until_ready(infer_scan(sigs, signal_len))
+        # host transfer as the completion fence: under the axon tunnel
+        # block_until_ready can return before device completion (see
+        # bench_train.py), which would wildly flatter a single-dispatch
+        # measurement
+        np.asarray(infer_scan(sigs, signal_len)[0])
         start = time.perf_counter()
         r = infer_scan(sigs, signal_len)
-        jax.block_until_ready(r)
+        np.asarray(r[0])
         elapsed = time.perf_counter() - start
     except Exception as e:                    # headline must always print
         print(json.dumps({"metric": "sustained-scan fallback",
