@@ -171,6 +171,8 @@ class Trainer:
                                                            base_rng)
                     metrics = jax.tree.map(lambda m: m[-1], metrics)
                     n_done = spd
+                    # periodic train-WER reads one batch, not the stack
+                    batch = jax.tree.map(lambda v: v[-1], batch)
                 else:
                     self.state, metrics = self._train_step(self.state, batch,
                                                            base_rng)
