@@ -81,3 +81,105 @@ def test_encoder_ffn_pallas_backend_matches_xla(monkeypatch):
     # the compute dtype); tolerance covers that plus bf16 matmul operands
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=1e-2, atol=5e-3)
+
+
+def test_fused_ffn_backward_matches_xla():
+    rng = np.random.default_rng(2)
+    b, t, d, f = 2, 48, 64, 256
+    mk = lambda *s_: jnp.asarray(rng.normal(size=s_).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    p_ = dict(s=1.0 + mk(d), sb=mk(d), w1=mk(d, f), b1=mk(f),
+              w2=mk(f, d), b2=mk(d))
+    cot = mk(b, t, d)
+
+    def loss_kernel(x, p_):
+        out = fused_ffn_sublayer(x, p_["s"], p_["sb"], p_["w1"], p_["b1"],
+                                 p_["w2"], p_["b2"], interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_ref(x, p_):
+        out = _ref(x, p_["s"], p_["sb"], p_["w1"], p_["b1"], p_["w2"],
+                   p_["b2"])
+        return jnp.sum(out * cot)
+
+    gx_k, gp_k = jax.grad(loss_kernel, argnums=(0, 1))(x, p_)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, p_)
+
+    def check(a, b_, name):
+        scale = max(1e-3, float(jnp.max(jnp.abs(b_))))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b_) / scale, atol=2e-2,
+                                   err_msg=f"grad mismatch: {name}")
+    check(gx_k, gx_r, "x")
+    for key in gp_k:
+        check(gp_k[key], gp_r[key], key)
+
+
+def test_fused_ffn_dropout_deterministic_and_grads():
+    rng = np.random.default_rng(3)
+    b, t, d, f = 2, 32, 32, 128
+    mk = lambda *s_: jnp.asarray(rng.normal(size=s_).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    args = (1.0 + mk(d), mk(d), mk(d, f), mk(f), mk(f, d), mk(d))
+    seed = jnp.asarray([17], jnp.int32)
+
+    run = lambda sd: fused_ffn_sublayer(x, *args, dropout_rate=0.3,
+                                        dropout_seed=sd, interpret=True)
+    a1, a2, a3 = run(seed), run(seed), run(seed + 1)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert not np.allclose(np.asarray(a1), np.asarray(a3))
+    # kept mass rescales: same order of magnitude as the no-dropout output
+    base = fused_ffn_sublayer(x, *args, interpret=True)
+    ratio = float(jnp.mean(jnp.abs(a1 - x)) / jnp.mean(jnp.abs(base - x)))
+    assert 0.4 < ratio < 2.5
+
+    # backward regenerates identical masks: grads are deterministic and the
+    # residual component of dx is exact (cotangent passes straight through)
+    def loss(x):
+        return jnp.sum(jnp.square(run(seed)))
+    g1 = jax.grad(lambda x_: jnp.sum(jnp.square(
+        fused_ffn_sublayer(x_, *args, dropout_rate=0.3, dropout_seed=seed,
+                           interpret=True))))(x)
+    g2 = jax.grad(lambda x_: jnp.sum(jnp.square(
+        fused_ffn_sublayer(x_, *args, dropout_rate=0.3, dropout_seed=seed,
+                           interpret=True))))(x)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    assert np.all(np.isfinite(np.asarray(g1)))
+
+
+def test_encoder_ffn_pallas_training_grads(monkeypatch):
+    """Training path through the fused FFN: dropout active, grads flow
+    through the custom VJP, deterministic per rng."""
+    import tpu_asr.ops.pallas_ffn as pf
+    from tpu_asr.config import EncoderConfig
+    from tpu_asr.models.conformer import ConformerEncoder
+
+    orig = pf.fused_ffn_sublayer
+    monkeypatch.setattr(
+        pf, "fused_ffn_sublayer",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+
+    enc = ConformerEncoder(EncoderConfig(
+        feat_in=24, n_layers=2, d_model=32, n_heads=4, conv_kernel_size=7,
+        conv_norm_type="layer_norm", dropout=0.2, dropout_pre_encoder=0.0,
+        dropout_att=0.0, attention_backend="xla", ffn_backend="pallas"))
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 24, 60)), jnp.float32)
+    lengths = jnp.asarray([60, 41], jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), feats, lengths)
+
+    def loss(params, key):
+        out, _, _ = enc.apply({"params": params}, feats, lengths, train=True,
+                              rngs={"dropout": key, "layerdrop": key})
+        return jnp.sum(jnp.square(out))
+
+    key = jax.random.PRNGKey(3)
+    g1 = jax.grad(loss)(variables["params"], key)
+    g2 = jax.grad(loss)(variables["params"], key)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree.leaves(g1))
+    # FFN weights actually receive gradient
+    gl = g1["layers"]["feed_forward1"]["linear1"]["kernel"]
+    assert float(jnp.max(jnp.abs(gl))) > 0

@@ -536,9 +536,15 @@ class FeedForward(nn.Module):
         if fused_ln is not None:
             w1, b1 = _DenseParams(self.d_ff, self.d_model, name="linear1")()
             w2, b2 = _DenseParams(self.d_model, self.d_ff, name="linear2")()
+            rate, seed = 0.0, None
+            if not deterministic and self.dropout_rate > 0.0:
+                rate = self.dropout_rate
+                seed = jax.random.randint(self.make_rng("dropout"), (1,),
+                                          0, jnp.iinfo(jnp.int32).max)
             from tpu_asr.ops.pallas_ffn import fused_ffn_sublayer
             return fused_ffn_sublayer(x.astype(self.dtype), fused_ln[0],
-                                      fused_ln[1], w1, b1, w2, b2)
+                                      fused_ln[1], w1, b1, w2, b2,
+                                      dropout_rate=rate, dropout_seed=seed)
         h = nn.Dense(self.d_ff, dtype=self.dtype, name="linear1")(x)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
@@ -567,10 +573,9 @@ class ConformerLayer(nn.Module):
         c = self.cfg
         det = not train
         drop = lambda h: nn.Dropout(c.dropout, deterministic=det)(h)
-        # fused FFN sublayer kernel: eval-only (no dropout/autodiff), opt-in
-        # until measured faster (config.py ffn_backend)
-        ffn_fused = (c.ffn_backend == "pallas" and det
-                     and cache is None)
+        # fused FFN sublayer kernel (fwd + custom-VJP bwd, in-kernel
+        # dropout): opt-in until measured faster (config.py ffn_backend)
+        ffn_fused = c.ffn_backend == "pallas" and cache is None
 
         if ffn_fused:
             s1, sb1 = _ScaleBias(c.d_model, name="norm_feed_forward1")()

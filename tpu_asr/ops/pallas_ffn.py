@@ -1,24 +1,31 @@
-"""Fused Conformer feed-forward sublayer (eval path) as one Pallas kernel.
+"""Fused Conformer feed-forward sublayer as one Pallas kernel (fwd + bwd).
 
-out = x + 0.5 * ( silu( LN(x) @ W1 + b1 ) @ W2 + b2 )
+out = x + 0.5 * drop2( silu( LN(x) @ W1 + b1 ) |> drop1 @ W2 + b2 )
 
 — the whole half-step FFN sublayer of the Conformer layer (NeMo
 ConformerLayer's `norm_feed_forward{1,2}` + `feed_forward{1,2}` + the 0.5
 residual; SURVEY.md N6), VMEM-resident per program: the (T, d_ff)
-activation never touches HBM and the LN statistics, SiLU and residual ride
-in the same pass as the two matmuls.
+activation never touches HBM and the LN statistics, SiLU, both dropout
+masks and the residual ride in the same pass as the two matmuls.
 
-Scope: deterministic (inference) passes — training keeps the XLA path
-(dropout between the matmuls + autodiff). `rb` batch rows share one program
-so launch overhead amortizes (the per-row MXU work is ~1 us).
+Training support: both dropout masks (inner, on the post-SiLU activation —
+NeMo FeedForward's Dropout — and outer, on the sublayer output before the
+0.5 residual — ConformerLayer's `0.5 * dropout(h)`) are generated from the
+Mosaic hardware PRNG keyed on a PER-BATCH-ROW seed operand; the backward
+kernel regenerates them bit-identically, so neither mask exists in HBM.
+The flash-style backward recomputes LN/activations in VMEM and emits dx
+plus PER-ROW weight/bias grad partials (summed over the batch outside —
+the same pattern as the attention kernel's dWev).
 
 LayerNorm matches flax.linen.LayerNorm exactly: fast variance
 (E[x^2] - E[x]^2), eps 1e-6, scale+bias. D stays at its LOGICAL size
-(Mosaic pads lanes in-register), so reductions over the feature axis need
-no lane masking.
+(Mosaic pads lanes in-register), so feature-axis reductions need no lane
+masking.
 
 GSPMD: wrapped with the batch partition rule (parallel/kernel_sharding.py)
-so the batch axis stays sharded under a mesh.
+so the batch axis stays sharded under a mesh; dropout streams ride in the
+(B,) seed operand, making bits invariant to sharding and to the rows-per-
+program choice.
 
 Default OFF (`EncoderConfig.ffn_backend='auto'` resolves to the XLA path)
 until measured faster on real hardware — the same measured-not-assumed
@@ -31,74 +38,160 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from tpu_asr.ops.pallas_attention import _dropout_keep
 
 EPS = 1e-6
 
 
-def _ffn_kernel(x_ref, s_ref, sb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
-    x = x_ref[:]                                       # (rb, T, D)
-    xf = x.astype(jnp.float32)
+def _ln_fwd(x_ref, s_ref, sb_ref):
+    xf = x_ref[:].astype(jnp.float32)                  # (rb, T, D)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    y = (xf - mu) * jax.lax.rsqrt(var + EPS)
-    y = y * s_ref[:] + sb_ref[:]                       # (1, 1, D) affine
+    r = jax.lax.rsqrt(var + EPS)
+    xhat = (xf - mu) * r
+    y = xhat * s_ref[:] + sb_ref[:]
+    return xf, xhat, r, y
+
+
+def _row_keeps(seed_ref, i, rb, shape2d, rate, salt, interpret):
+    """(rb, *shape2d) keep-masks, one PRNG stream per GLOBAL batch row.
+    `salt` separates the inner/outer mask namespaces (streams interleave as
+    2*seed[row] + salt); seeds ride in data so bits are invariant to rb and
+    to batch sharding (kernel_sharding contract)."""
+    keeps = []
+    for l in range(rb):
+        s = seed_ref[i * rb + l] * 2 + salt
+        keeps.append(_dropout_keep(s, 1, shape2d, rate, interpret)[0])
+    return jnp.stack(keeps)
+
+
+def _ffn_kernel(seed_ref, x_ref, s_ref, sb_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, o_ref, *, rate, rb, interpret):
+    _, _, _, y = _ln_fwd(x_ref, s_ref, sb_ref)
     dn = (((2,), (0,)), ((), ()))
     h = jax.lax.dot_general(y.astype(jnp.bfloat16),
                             w1_ref[:].astype(jnp.bfloat16), dn,
                             preferred_element_type=jnp.float32)
     h = h + b1_ref[:]
     h = h * jax.nn.sigmoid(h)                          # SiLU
+    if rate > 0.0:
+        keep1 = _row_keeps(seed_ref, pl.program_id(0), rb, h.shape[1:],
+                           rate, 0, interpret)
+        h = jnp.where(keep1, h * (1.0 / (1.0 - rate)), 0.0)
     o = jax.lax.dot_general(h.astype(jnp.bfloat16),
                             w2_ref[:].astype(jnp.bfloat16), dn,
                             preferred_element_type=jnp.float32)
     o = o + b2_ref[:]
-    o_ref[:] = (xf + 0.5 * o).astype(o_ref.dtype)
+    if rate > 0.0:
+        keep2 = _row_keeps(seed_ref, pl.program_id(0), rb, o.shape[1:],
+                           rate, 1, interpret)
+        o = jnp.where(keep2, o * (1.0 / (1.0 - rate)), 0.0)
+    o_ref[:] = (x_ref[:].astype(jnp.float32) + 0.5 * o).astype(o_ref.dtype)
 
 
-def _pick_rb(b: int, t: int, d_ff: int) -> int:
-    """Rows per program under a ~14 MB fp32 working-set budget."""
+def _ffn_bwd_kernel(seed_ref, x_ref, s_ref, sb_ref, w1_ref, b1_ref, w2_ref,
+                    b2_ref, g_ref, dx_ref, ds_ref, dsb_ref, dw1_ref, db1_ref,
+                    dw2_ref, db2_ref, *, rate, rb, interpret):
+    """Recompute-everything backward; PER-ROW weight grad partials."""
+    xf, xhat, r, y = _ln_fwd(x_ref, s_ref, sb_ref)
+    y16 = y.astype(jnp.bfloat16)
+    w1_16 = w1_ref[:].astype(jnp.bfloat16)
+    w2_16 = w2_ref[:].astype(jnp.bfloat16)
+    dn = (((2,), (0,)), ((), ()))
+    h1 = jax.lax.dot_general(y16, w1_16, dn,
+                             preferred_element_type=jnp.float32) + b1_ref[:]
+    sig = jax.nn.sigmoid(h1)
+    hs = h1 * sig                                      # silu(h1)
+    scale = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    if rate > 0.0:
+        keep1 = _row_keeps(seed_ref, pl.program_id(0), rb, h1.shape[1:],
+                           rate, 0, interpret)
+        hd = jnp.where(keep1, hs * scale, 0.0)
+    else:
+        hd = hs
+
+    g = g_ref[:].astype(jnp.float32)                   # (rb, T, D)
+    do = 0.5 * g
+    if rate > 0.0:
+        keep2 = _row_keeps(seed_ref, pl.program_id(0), rb, g.shape[1:],
+                           rate, 1, interpret)
+        do = jnp.where(keep2, do * scale, 0.0)
+    do16 = do.astype(jnp.bfloat16)
+    # dW2[row, F, D] = sum_t hd[row,t,F] do[row,t,D]
+    gdn = (((1,), (1,)), ((0,), (0,)))
+    dw2_ref[:] = jax.lax.dot_general(hd.astype(jnp.bfloat16), do16, gdn,
+                                     preferred_element_type=jnp.float32)
+    db2_ref[:] = jnp.sum(do, axis=1, keepdims=True)
+    # dh_drop = do @ W2^T
+    tdn = (((2,), (1,)), ((), ()))
+    dhd = jax.lax.dot_general(do16, w2_16, tdn,
+                              preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        dhd = jnp.where(keep1, dhd * scale, 0.0)
+    # silu'(z) = sigmoid(z) * (1 + z * (1 - sigmoid(z)))
+    dh1 = dhd * sig * (1.0 + h1 * (1.0 - sig))
+    dh1_16 = dh1.astype(jnp.bfloat16)
+    dw1_ref[:] = jax.lax.dot_general(y16, dh1_16, gdn,
+                                     preferred_element_type=jnp.float32)
+    db1_ref[:] = jnp.sum(dh1, axis=1, keepdims=True)
+    dy = jax.lax.dot_general(dh1_16, w1_16, tdn,
+                             preferred_element_type=jnp.float32)
+    ds_ref[:] = jnp.sum(dy * xhat, axis=1, keepdims=True)
+    dsb_ref[:] = jnp.sum(dy, axis=1, keepdims=True)
+    # LayerNorm backward (fast-variance form)
+    dxhat = dy * s_ref[:]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = r * (dxhat - m1 - xhat * m2)
+    dx_ref[:] = (g + dx_ln).astype(dx_ref.dtype)
+
+
+def _pick_rb(b: int, t: int, d_ff: int, words: int) -> int:
+    """Rows per program under a ~14 MB fp32 working-set budget; `words` is
+    the fp32 (T, d_ff)-equivalents held live."""
     rb = b
-    while rb > 1 and (rb % 2 == 0) and rb * t * d_ff * 4 * 2 > 14 * 2 ** 20:
+    while rb > 1 and (rb % 2 == 0) and rb * t * d_ff * 4 * words > 14 * 2 ** 20:
         rb //= 2
     while b % rb:
         rb -= 1
     return rb
 
 
+def _specs(rb, tp, d, d_ff, b):
+    x_spec = pl.BlockSpec((rb, tp, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vd = pl.BlockSpec((1, 1, d), lambda i: (0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    vf = pl.BlockSpec((1, 1, d_ff), lambda i: (0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    m1 = pl.BlockSpec((d, d_ff), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    m2 = pl.BlockSpec((d_ff, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
+    return x_spec, vd, vf, m1, m2, seed
+
+
 @functools.lru_cache(maxsize=None)
-def _ffn_partitioned(interpret):
+def _ffn_fwd_partitioned(rate, interpret):
     from tpu_asr.parallel.kernel_sharding import batch_partitioned
 
-    def fun(x, s, sb, w1, b1, w2, b2):
+    def fun(x, s, sb, w1, b1, w2, b2, seeds):
         b, t, d = x.shape
         d_ff = w1.shape[1]
         tp = (t + 7) // 8 * 8
         x_p = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
-        rb = _pick_rb(b, tp, d_ff)
-        row3 = lambda v: v[None, None, :]
-        mat = lambda wdim: pl.BlockSpec(wdim, lambda i: (0, 0),
-                                        memory_space=pltpu.VMEM)
+        rb = _pick_rb(b, tp, d_ff, words=2)
+        x_spec, vd, vf, m1, m2, seed = _specs(rb, tp, d, d_ff, b)
+        kernel = functools.partial(_ffn_kernel, rate=rate, rb=rb,
+                                   interpret=interpret)
         out = pl.pallas_call(
-            _ffn_kernel,
+            kernel,
             grid=(b // rb,),
-            in_specs=[
-                pl.BlockSpec((rb, tp, d), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, d), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, d), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                mat((d, d_ff)),
-                pl.BlockSpec((1, 1, d_ff), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                mat((d_ff, d)),
-                pl.BlockSpec((1, 1, d), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((rb, tp, d), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            in_specs=[seed, x_spec, vd, vd, m1, vf, m2, vd],
+            out_specs=x_spec,
             out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=4 * b * tp * d * d_ff,
@@ -106,13 +199,96 @@ def _ffn_partitioned(interpret):
                 transcendentals=b * tp * d_ff,
             ),
             interpret=interpret,
-        )(x_p, row3(s), row3(sb), w1, b1[None, None, :], w2,
-          b2[None, None, :])
+        )(seeds, x_p, s[None, None], sb[None, None], w1, b1[None, None],
+          w2, b2[None, None])
         return out[:, :t]
 
-    specs = ((3, 0),) + ((3, None),) * 2 + ((2, None), (3, None),
-                                            (2, None), (3, None))
-    return batch_partitioned(fun, specs, ((3, 0),), tuple_out=False)
+    arg_specs = ((3, 0),) + ((3, None),) * 2 + ((2, None), (3, None),
+                                                (2, None), (3, None),
+                                                (1, 0))
+    return batch_partitioned(fun, arg_specs, ((3, 0),), tuple_out=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _ffn_bwd_partitioned(rate, interpret):
+    from tpu_asr.parallel.kernel_sharding import batch_partitioned
+
+    def fun(x, s, sb, w1, b1, w2, b2, seeds, g):
+        b, t, d = x.shape
+        d_ff = w1.shape[1]
+        tp = (t + 7) // 8 * 8
+        pad_t = lambda z: jnp.pad(z, ((0, 0), (0, tp - t), (0, 0)))
+        x_p, g_p = pad_t(x), pad_t(g.astype(x.dtype))
+        rb = _pick_rb(b, tp, d_ff, words=4)
+        x_spec, vd, vf, m1, m2, seed = _specs(rb, tp, d, d_ff, b)
+        kernel = functools.partial(_ffn_bwd_kernel, rate=rate, rb=rb,
+                                   interpret=interpret)
+        pw1 = pl.BlockSpec((rb, d, d_ff), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        pw2 = pl.BlockSpec((rb, d_ff, d), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        # vector partials ride as (B, 1, dim): Mosaic wants the last two
+        # block dims 8/128-divisible OR equal to the array dims — (1, dim)
+        # blocks of a (B, 1, dim) array satisfy the latter for any rb
+        pvd = pl.BlockSpec((rb, 1, d), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        pvf = pl.BlockSpec((rb, 1, d_ff), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        f32 = jnp.float32
+        out = pl.pallas_call(
+            kernel,
+            grid=(b // rb,),
+            in_specs=[seed, x_spec, vd, vd, m1, vf, m2, vd, x_spec],
+            out_specs=(x_spec, pvd, pvd, pw1, pvf, pw2, pvd),
+            out_shape=(jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+                       jax.ShapeDtypeStruct((b, 1, d), f32),
+                       jax.ShapeDtypeStruct((b, 1, d), f32),
+                       jax.ShapeDtypeStruct((b, d, d_ff), f32),
+                       jax.ShapeDtypeStruct((b, 1, d_ff), f32),
+                       jax.ShapeDtypeStruct((b, d_ff, d), f32),
+                       jax.ShapeDtypeStruct((b, 1, d), f32)),
+            cost_estimate=pl.CostEstimate(
+                flops=12 * b * tp * d * d_ff,
+                bytes_accessed=8 * b * tp * d + 8 * b * d * d_ff,
+                transcendentals=2 * b * tp * d_ff,
+            ),
+            interpret=interpret,
+        )(seeds, x_p, s[None, None], sb[None, None], w1, b1[None, None],
+          w2, b2[None, None], g_p)
+        dx = out[0][:, :t]
+        return (dx,) + out[1:]
+
+    arg_specs = ((3, 0),) + ((3, None),) * 2 + ((2, None), (3, None),
+                                                (2, None), (3, None),
+                                                (1, 0), (3, 0))
+    out_specs = ((3, 0), (3, 0), (3, 0), (3, 0), (3, 0), (3, 0), (3, 0))
+    return batch_partitioned(fun, arg_specs, out_specs, tuple_out=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _ffn_core(x, s, sb, w1, b1, w2, b2, seeds, rate, interpret):
+    return _ffn_fwd_partitioned(rate, interpret)(x, s, sb, w1, b1, w2, b2,
+                                                 seeds)
+
+
+def _ffn_core_fwd(x, s, sb, w1, b1, w2, b2, seeds, rate, interpret):
+    out = _ffn_fwd_partitioned(rate, interpret)(x, s, sb, w1, b1, w2, b2,
+                                                seeds)
+    return out, (x, s, sb, w1, b1, w2, b2, seeds)
+
+
+def _ffn_core_bwd(rate, interpret, res, g):
+    x, s, sb, w1, b1, w2, b2, seeds = res
+    dx, ds_b, dsb_b, dw1_b, db1_b, dw2_b, db2_b = _ffn_bwd_partitioned(
+        rate, interpret)(x, s, sb, w1, b1, w2, b2, seeds, g)
+    sm = lambda z, ref: jnp.sum(z, axis=0).astype(ref.dtype)
+    sv = lambda z, ref: jnp.sum(z, axis=0)[0].astype(ref.dtype)
+    return (dx.astype(x.dtype), sv(ds_b, s), sv(dsb_b, sb), sm(dw1_b, w1),
+            sv(db1_b, b1), sm(dw2_b, w2), sv(db2_b, b2),
+            np.zeros(seeds.shape, jax.dtypes.float0))
+
+
+_ffn_core.defvjp(_ffn_core_fwd, _ffn_core_bwd)
 
 
 def fused_ffn_sublayer(
@@ -123,12 +299,22 @@ def fused_ffn_sublayer(
     b1: jnp.ndarray,             # (d_ff,)
     w2: jnp.ndarray,             # (d_ff, D) linear2 kernel
     b2: jnp.ndarray,             # (D,)
+    dropout_rate: float = 0.0,
+    dropout_seed=None,           # int32, any shape; scalar used
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns x + 0.5 * FFN(LN(x)) in x.dtype. Eval-path only (no dropout,
-    no custom VJP) — callers gate on deterministic passes."""
+    """Returns x + 0.5 * drop(FFN(LN(x))) in x.dtype. dropout_rate > 0
+    applies BOTH the inner (post-SiLU) and outer (sublayer-output) dropout
+    masks from the in-kernel PRNG (requires dropout_seed); the custom-VJP
+    backward regenerates identical masks."""
+    b = x.shape[0]
     f32 = jnp.float32
     cdt = x.dtype
-    return _ffn_partitioned(interpret)(
-        x, ln_scale.astype(f32), ln_bias.astype(f32), w1.astype(cdt),
-        b1.astype(f32), w2.astype(cdt), b2.astype(f32))
+    if dropout_seed is None:
+        seeds = jnp.zeros((b,), jnp.int32)
+    else:
+        base = jnp.reshape(dropout_seed.astype(jnp.int32), (-1,))[0]
+        seeds = base + jnp.arange(b, dtype=jnp.int32)
+    return _ffn_core(x, ln_scale.astype(f32), ln_bias.astype(f32),
+                     w1.astype(cdt), b1.astype(f32), w2.astype(cdt),
+                     b2.astype(f32), seeds, float(dropout_rate), interpret)
