@@ -203,9 +203,10 @@ def _ffn_fwd_partitioned(rate, interpret):
           w2, b2[None, None])
         return out[:, :t]
 
-    arg_specs = ((3, 0),) + ((3, None),) * 2 + ((2, None), (3, None),
-                                                (2, None), (3, None),
-                                                (1, 0))
+    # fun(x, s, sb, w1, b1, w2, b2, seeds): vectors are RANK-1 here (the
+    # wrapper reshapes to (1, 1, dim) only when feeding the kernel)
+    arg_specs = ((3, 0), (1, None), (1, None), (2, None), (1, None),
+                 (2, None), (1, None), (1, 0))
     return batch_partitioned(fun, arg_specs, ((3, 0),), tuple_out=False)
 
 
@@ -258,9 +259,8 @@ def _ffn_bwd_partitioned(rate, interpret):
         dx = out[0][:, :t]
         return (dx,) + out[1:]
 
-    arg_specs = ((3, 0),) + ((3, None),) * 2 + ((2, None), (3, None),
-                                                (2, None), (3, None),
-                                                (1, 0), (3, 0))
+    arg_specs = ((3, 0), (1, None), (1, None), (2, None), (1, None),
+                 (2, None), (1, None), (1, 0), (3, 0))
     out_specs = ((3, 0), (3, 0), (3, 0), (3, 0), (3, 0), (3, 0), (3, 0))
     return batch_partitioned(fun, arg_specs, out_specs, tuple_out=True)
 
