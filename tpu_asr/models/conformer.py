@@ -574,8 +574,16 @@ class ConformerLayer(nn.Module):
         det = not train
         drop = lambda h: nn.Dropout(c.dropout, deterministic=det)(h)
         # fused FFN sublayer kernel (fwd + custom-VJP bwd, in-kernel
-        # dropout): opt-in until measured faster (config.py ffn_backend)
-        ffn_fused = c.ffn_backend == "pallas" and cache is None
+        # dropout). Measured on v5e (B=32 x 15 s, amortized over a long
+        # scan): fwd+bwd 210 vs 396 us/sublayer in XLA's favor of the
+        # kernel (~1.9x, and the (T, d_ff) activation never hits HBM), but
+        # pure fwd 71 vs 67 us — so 'auto' resolves to the kernel for
+        # TRAINING and to the XLA path for eval. Both paths share the same
+        # param tree (_ScaleBias mirrors nn.LayerNorm's names).
+        ffn_fused = cache is None and (
+            c.ffn_backend == "pallas"
+            or (c.ffn_backend == "auto" and train
+                and jax.default_backend() == "tpu"))
 
         if ffn_fused:
             s1, sb1 = _ScaleBias(c.d_model, name="norm_feed_forward1")()
