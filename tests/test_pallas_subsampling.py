@@ -1,0 +1,104 @@
+"""Fused ConvSubsampling kernel parity (interpret mode on CPU) vs the XLA
+reference (conv -> ReLU -> conv -> ReLU -> flatten -> Linear, no bias),
+plus the model-level backend equivalence and the custom-VJP gradient."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_asr.ops.pallas_subsampling import (fused_subsampling,
+                                            subsampling_reference, _out_len)
+
+
+def _params(rng, c, d):
+    mk = lambda s, sc: jnp.asarray(rng.normal(size=s).astype(np.float32) * sc)
+    return (mk((3, 3, 1, c), 0.3), mk((c,), 0.1),
+            mk((3, 3, c, c), 0.08), mk((c,), 0.1),
+            mk((20 * c, d), 0.05))
+
+
+@pytest.mark.parametrize("b,t0,c,d", [
+    (2, 245, 88, 88),      # student dims, T2 < one block
+    (1, 515, 176, 176),    # teacher dims, T2 = 130 spans two blocks
+    (2, 37, 96, 64),       # short audio, C != D
+])
+def test_fused_subsampling_matches_reference(b, t0, c, d):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, t0, 80)).astype(np.float32) * 0.5)
+    w1, b1, w2, b2, wfc = _params(rng, c, d)
+    want = subsampling_reference(x, w1, b1, w2, b2, wfc)
+    got = fused_subsampling(x, w1, b1, w2, b2, wfc, interpret=True)
+    t2 = _out_len(_out_len(t0))
+    assert got.shape == (b, t2, d) and got.dtype == jnp.bfloat16
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    np.testing.assert_allclose(g, w, rtol=0.05,
+                               atol=0.03 * max(1.0, np.abs(w).max()))
+
+
+def test_boundary_zero_pad_semantics():
+    """The kernel must reproduce conv2's ZERO padding (t1 = -1/T1, f1 = -1)
+    even though a zeroed conv1 input would produce ReLU(b1) there — use a
+    large conv1 bias so any leak is far outside tolerance."""
+    rng = np.random.default_rng(1)
+    b, t0, c, d = 1, 125, 88, 88
+    x = jnp.asarray(rng.normal(size=(b, t0, 80)).astype(np.float32))
+    w1, b1, w2, b2, wfc = _params(rng, c, d)
+    b1 = b1 + 5.0                                  # ReLU(b1) leak detector
+    want = np.asarray(subsampling_reference(x, w1, b1, w2, b2, wfc),
+                      np.float32)
+    got = np.asarray(fused_subsampling(x, w1, b1, w2, b2, wfc,
+                                       interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.05,
+                               atol=0.03 * np.abs(want).max())
+
+
+def test_custom_vjp_matches_reference_grad():
+    rng = np.random.default_rng(2)
+    b, t0, c, d = 1, 61, 8, 8
+    x = jnp.asarray(rng.normal(size=(b, t0, 80)).astype(np.float32))
+    w1, b1, w2, b2, wfc = _params(rng, c, d)
+
+    def loss_k(w2_):
+        o = fused_subsampling(x, w1, b1, w2_, b2, wfc, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_r(w2_):
+        o = subsampling_reference(x, w1, b1, w2_, b2, wfc)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gk = jax.grad(loss_k)(w2)
+    gr = jax.grad(loss_r)(w2)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               rtol=0.05, atol=0.05)
+
+
+def test_model_backend_equivalence():
+    """ConvSubsampling(backend='pallas') == backend='xla' on the SAME param
+    tree (checkpoint compatibility + numerics)."""
+    from tpu_asr.config import EncoderConfig
+    from tpu_asr.models.conformer import ConvSubsampling
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 165, 80)).astype(np.float32))
+    cfg_x = EncoderConfig(d_model=88, n_layers=1, n_heads=2,
+                          subsampling_backend="xla")
+    cfg_p = EncoderConfig(d_model=88, n_layers=1, n_heads=2,
+                          subsampling_backend="pallas")
+    mod_x = ConvSubsampling(cfg_x, dtype=jnp.float32)
+    mod_p = ConvSubsampling(cfg_p, dtype=jnp.float32)
+    variables = mod_x.init(jax.random.key(0), x)
+    want = mod_x.apply(variables, x)
+    # run the pallas path in interpret mode (CPU test host)
+    from tpu_asr.ops import pallas_subsampling as ps
+    saved = ps._fwd_partitioned
+    ps._fwd_partitioned = lambda c, d, interp: saved(c, d, True)
+    try:
+        got = mod_p.apply(variables, x)
+    finally:
+        ps._fwd_partitioned = saved
+    assert got.shape == want.shape
+    w = np.asarray(want, np.float32)
+    np.testing.assert_allclose(np.asarray(got, np.float32), w,
+                               rtol=0.05, atol=0.03 * np.abs(w).max())

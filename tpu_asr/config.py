@@ -78,6 +78,11 @@ class EncoderConfig:
     subsampling: str = "striding"
     subsampling_factor: int = 4
     subsampling_conv_channels: int = -1   # -1 -> d_model
+    # 'xla' | 'pallas' | 'auto': fused whole-pre-encode Pallas kernel
+    # (ops/pallas_subsampling.py; 1.53 vs 2.38 ms measured on v5e at
+    # B=32 x 15 s). 'auto' -> pallas on TPU for striding x4 / 80 mels /
+    # symmetric padding; XLA otherwise (and for the custom-VJP backward).
+    subsampling_backend: str = "auto"
     self_attention_model: str = "rel_pos"
     att_context_size: Tuple[int, int] = (-1, -1)
     # 'regular' (sliding-window limited context) | 'chunked_limited' (aligned

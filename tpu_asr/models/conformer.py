@@ -54,6 +54,32 @@ class ConvSubsampling(nn.Module):
         # x: (B, T, F) -> (B, T, F, 1) NHWC
         c = self.cfg
         n_stages = int(math.log2(c.subsampling_factor))
+
+        backend = getattr(c, "subsampling_backend", "auto")
+        fused_ok = (c.subsampling == "striding" and n_stages == 2
+                    and not c.causal_downsampling and x.shape[-1] == 80
+                    and c.conv_channels % 8 == 0)
+        if backend == "auto":
+            backend = ("pallas" if (fused_ok and
+                                    jax.default_backend() == "tpu")
+                       else "xla")
+        if backend == "pallas":
+            if not fused_ok:
+                raise ValueError(
+                    "subsampling_backend='pallas' requires striding x4 "
+                    "subsampling, symmetric padding, and 80 mel features")
+            ch = c.conv_channels
+            w1, b1 = _Conv2dParams(ch, 1, name="conv0")()
+            w2, b2 = _Conv2dParams(ch, ch, name="conv1")()
+            f_out = x.shape[-1] // 4
+            w, bias = _DenseParams(c.d_model, ch * f_out, name="out")()
+            w_fc = w.reshape(ch, f_out, c.d_model).transpose(1, 0, 2).reshape(
+                f_out * ch, c.d_model)
+            from tpu_asr.ops.pallas_subsampling import fused_subsampling
+            h = fused_subsampling(x, w1, b1, w2, b2, w_fc)
+            return (h.astype(self.dtype)
+                    + bias.astype(self.dtype)).astype(self.dtype)
+
         h = x[..., None].astype(self.dtype)
         # `causal_downsampling` (NeMo conformer_encoder.py:389 CausalConv2D):
         # left-only time padding (2, 0) keeps every output frame a function of
@@ -397,6 +423,22 @@ class _DenseParams(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
         return k, b
+
+
+class _Conv2dParams(nn.Module):
+    """Raw 3x3 Conv2d (kernel (3,3,in,out) HWIO, bias) under nn.Conv's
+    param paths, shapes, and lecun_normal fan computation."""
+
+    features: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, self.in_ch, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return kern, b
 
 
 class _ConvParams(nn.Module):
