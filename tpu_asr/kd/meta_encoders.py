@@ -143,13 +143,19 @@ class _MetaConformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = x + 0.5 * _MetaFeedForward(self.dim, dtype=self.dtype, name="ff1")(x, train)
+        # The reference applies norm_ff1/norm_ff2 BEFORE ff1/ff2 even though
+        # FeedForwardModule itself starts with its own LayerNorm — two LNs
+        # in a row (asr_train.py:975-979,990-994). Reference-faithful:
+        # LN(LN(x)) differs from LN(x) through the first LN's affine.
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_ff1")(x)
+        x = x + 0.5 * _MetaFeedForward(self.dim, dtype=self.dtype, name="ff1")(h, train)
         h = nn.LayerNorm(dtype=self.dtype, name="mha_norm")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, dtype=self.dtype, name="mha")(h, h)
         x = x + h
         x = x + _MetaConvModule(self.dim, dtype=self.dtype, name="conv")(x, train)
-        x = x + 0.5 * _MetaFeedForward(self.dim, dtype=self.dtype, name="ff2")(x, train)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_ff2")(x)
+        x = x + 0.5 * _MetaFeedForward(self.dim, dtype=self.dtype, name="ff2")(h, train)
         return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
 
 
