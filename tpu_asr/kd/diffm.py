@@ -104,10 +104,14 @@ class LatentKDPipeline(nn.Module):
         v = c.model_version
         zero = jnp.zeros((), jnp.float32)
 
-        # teacher AE (z_t detached; recon loss always computed)
+        # teacher AE. NOTE the detach ORDER (asr_train_diffm.py:657-660):
+        # recon = dec(enc(t)) is computed BEFORE z_t.detach(), so the recon
+        # loss trains encoder AND decoder; only the downstream KD/FM uses
+        # see z_t gradient-stopped. (DiffKDModule in asr_train.py:295-297 is
+        # the opposite — it detaches before decoding — and kd/diffkd.py
+        # mirrors that.)
         z_t = nn.Conv(c.latent_dim, kernel_size=(1,), dtype=self.dtype, name="tae_enc")(tch_feat)
-        rec = nn.Conv(c.teacher_dim, kernel_size=(1,), dtype=self.dtype, name="tae_dec")(
-            jax.lax.stop_gradient(z_t))
+        rec = nn.Conv(c.teacher_dim, kernel_size=(1,), dtype=self.dtype, name="tae_dec")(z_t)
         z_t = jax.lax.stop_gradient(z_t)
         # recon criterion is always MSE regardless of kd_loss_type (asr_train_diffm.py:555)
         recon_loss = jnp.mean(
