@@ -211,9 +211,13 @@ class UNet1DMetaEncoder(nn.Module):
                 else:
                     h = h[:, : skip.shape[1]]
             h = jnp.concatenate([h, skip], axis=-1)
-            # torch ConvTranspose1d(k=4, s=2, p=1) doubles the length: L_out = 2*L_in
+            # torch ConvTranspose1d(k=4, s=2, p=1) doubles the length
+            # (L_out = 2*L_in) and equals flax ConvTranspose with padding
+            # ((2,2),) — i.e. (k-1-p) per side — and the kernel spatially
+            # flipped (verified empirically; flax pad ((1,1)) computes a
+            # SHIFTED transposed conv, pinned by tests/test_unet_oracle.py)
             h = nn.ConvTranspose(skip.shape[-1], kernel_size=(4,), strides=(2,),
-                                 padding=((1, 1),), dtype=self.dtype, name=f"up{i}")(h)
+                                 padding=((2, 2),), dtype=self.dtype, name=f"up{i}")(h)
         out = nn.Conv(self.out_dim, kernel_size=(1,), dtype=self.dtype, name="final")(h)
         # align back to the input length (reference crops/pads after the unet too)
         t_in = x.shape[1]
