@@ -95,3 +95,72 @@ def test_explicit_pallas_backend_rejects_incompatible_attention(rng):
         enc = ConformerEncoder(cfg)
         with pytest.raises(ValueError, match="pallas"):
             enc.init(jax.random.PRNGKey(0), feats, lens)
+
+
+def test_pre_encode_variants_shapes_and_lengths():
+    """NeMo pre-encode dispatch (conformer_encoder.py:371-392): dw_striding,
+    stacking/stacking_norm (ceil-length contract), and the factor-1 Linear."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_asr.config import EncoderConfig
+    from tpu_asr.models.conformer import ConformerEncoder, subsampled_length
+
+    rng = np.random.default_rng(0)
+    b, f, t = 2, 80, 61
+    feats = jnp.asarray(rng.normal(size=(b, f, t)).astype(np.float32))
+    lengths = jnp.asarray([61, 37], jnp.int32)
+
+    cases = {
+        "dw_striding": (4, (t - 1) // 2 // 2 + 1),
+        "stacking": (4, -(-t // 4)),
+        "stacking_norm": (4, -(-t // 4)),
+        "striding": (1, t),                      # factor 1 -> Linear
+    }
+    for sub, (factor, t_out_full) in cases.items():
+        cfg = EncoderConfig(n_layers=2, d_model=32, n_heads=2,
+                            subsampling=sub, subsampling_factor=factor,
+                            attention_backend="xla")
+        enc = ConformerEncoder(cfg)
+        variables = enc.init(jax.random.key(0), feats, lengths)
+        out, out_len, lf = enc.apply(variables, feats, lengths)
+        want_len = subsampled_length(lengths, factor, sub)
+        assert out.shape[0] == b and out.shape[2] == 32, (sub, out.shape)
+        assert out.shape[1] >= int(want_len[0]), (sub, out.shape)
+        np.testing.assert_array_equal(np.asarray(out_len),
+                                      np.asarray(want_len))
+        assert int(want_len[0]) == ((t - 1) // 2 // 2 + 1
+                                    if sub == "dw_striding" else t_out_full
+                                    if sub != "striding" else t)
+
+
+def test_bypass_pre_encode_and_feat_out():
+    """bypass_pre_encode consumes (B, T, d_model) embeddings unchanged in
+    length; feat_out projects the FINAL output (NeMo
+    test_conformer_encoder.py:129-155 contract)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+    from tpu_asr.config import EncoderConfig
+    from tpu_asr.models.conformer import ConformerEncoder
+
+    rng = np.random.default_rng(1)
+    b, t, d, fo = 2, 17, 16, 8
+    emb = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    lengths = jnp.full((b,), t, jnp.int32)
+
+    cfg = EncoderConfig(feat_in=10, n_layers=3, d_model=d, n_heads=2,
+                        feat_out=fo, attention_backend="xla")
+    enc = ConformerEncoder(cfg)
+    variables = enc.init(jax.random.key(0), emb, lengths,
+                         bypass_pre_encode=True)
+    out, out_len, lf = enc.apply(variables, emb, lengths,
+                                 bypass_pre_encode=True)
+    assert out.shape == (b, t, fo)               # length preserved, projected
+    np.testing.assert_array_equal(np.asarray(out_len), np.asarray(lengths))
+    assert lf.shape[-1] == d                     # layer feats stay d_model
+
+    with _pytest.raises(ValueError):
+        bad = jnp.zeros((b, t, d + 1), jnp.float32)
+        enc.apply(variables, bad, lengths, bypass_pre_encode=True)

@@ -71,6 +71,9 @@ class EncoderConfig:
     """
 
     feat_in: int = 80
+    # optional output projection dim (NeMo ConformerEncoder feat_out);
+    # -1 / d_model -> no projection
+    feat_out: int = -1
     n_layers: int = 16
     d_model: int = 176
     n_heads: int = 4

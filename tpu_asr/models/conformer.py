@@ -33,9 +33,16 @@ import numpy as np
 from tpu_asr.config import EncoderConfig
 
 
-def subsampled_length(length: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
-    """Frame count after `striding` conv subsampling (k=3, s=2, p=1 per stage):
-    L -> floor((L - 1) / 2) + 1, applied log2(factor) times."""
+def subsampled_length(length: jnp.ndarray, factor: int = 4,
+                      subsampling: str = "striding") -> jnp.ndarray:
+    """Frame count after pre-encode subsampling. striding/dw_striding
+    (k=3, s=2, p=1 per stage): L -> floor((L - 1) / 2) + 1, applied
+    log2(factor) times; stacking pads then stacks: ceil(L / factor);
+    factor <= 1 (Linear pre-encode): unchanged."""
+    if factor <= 1 or not subsampling:
+        return length
+    if subsampling in ("stacking", "stacking_norm"):
+        return -(-length // factor)
     n_stages = int(math.log2(factor))
     for _ in range(n_stages):
         length = (length - 1) // 2 + 1
@@ -43,8 +50,14 @@ def subsampled_length(length: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
 
 
 class ConvSubsampling(nn.Module):
-    """`striding` subsampling: 2x [Conv2d(k=3,s=2,p=1) + ReLU] over (T, F), then a
-    Linear projection of the flattened (C, F/4) features to d_model."""
+    """Pre-encode module (NeMo conformer_encoder.py:371-392 dispatch):
+    `striding` — 2x [Conv2d(k=3,s=2,p=1) + ReLU] over (T, F) then a Linear
+    projection of the flattened (C, F/4) features to d_model;
+    `dw_striding` — first stage a regular conv, later stages depthwise +
+    pointwise pairs (NeMo ConvSubsampling dw_striding);
+    `stacking`/`stacking_norm` — pad T to a multiple of the factor, stack
+    factor frames, (optional LayerNorm,) Linear (NeMo StackingSubsampling);
+    factor <= 1 — a plain Linear(feat_in -> d_model)."""
 
     cfg: EncoderConfig
     dtype: Any = jnp.float32
@@ -53,6 +66,20 @@ class ConvSubsampling(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, T, F) -> (B, T, F, 1) NHWC
         c = self.cfg
+        if c.subsampling_factor <= 1 or not c.subsampling:
+            return nn.Dense(c.d_model, dtype=self.dtype, name="out")(
+                x.astype(self.dtype))
+        if c.subsampling in ("stacking", "stacking_norm"):
+            b, t, f = x.shape
+            fac = c.subsampling_factor
+            pad = (-t) % fac
+            h = jnp.pad(x.astype(self.dtype), ((0, 0), (0, pad), (0, 0)))
+            h = h.reshape(b, (t + pad) // fac, fac * f)
+            if c.subsampling == "stacking_norm":
+                h = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(h)
+            return nn.Dense(c.d_model, dtype=self.dtype, name="out")(h)
+        if c.subsampling not in ("striding", "dw_striding"):
+            raise ValueError(f"unknown subsampling: {c.subsampling!r}")
         n_stages = int(math.log2(c.subsampling_factor))
 
         backend = getattr(c, "subsampling_backend", "auto")
@@ -88,14 +115,26 @@ class ConvSubsampling(nn.Module):
         # on this translation covariance (see models/streaming.py).
         t_pad = (2, 0) if c.causal_downsampling else (1, 1)
         for i in range(n_stages):
-            h = nn.Conv(
-                features=c.conv_channels,
-                kernel_size=(3, 3),
-                strides=(2, 2),
-                padding=(t_pad, (1, 1)),
-                dtype=self.dtype,
-                name=f"conv{i}",
-            )(h)
+            if c.subsampling == "dw_striding" and i > 0:
+                # depthwise k=3 s=2 + pointwise 1x1 (NeMo dw_striding
+                # stages after the first; first stage has 1 input channel,
+                # so depthwise would be pointless there)
+                h = nn.Conv(
+                    features=c.conv_channels, kernel_size=(3, 3),
+                    strides=(2, 2), padding=(t_pad, (1, 1)),
+                    feature_group_count=c.conv_channels,
+                    dtype=self.dtype, name=f"dw_conv{i}")(h)
+                h = nn.Conv(features=c.conv_channels, kernel_size=(1, 1),
+                            dtype=self.dtype, name=f"pw_conv{i}")(h)
+            else:
+                h = nn.Conv(
+                    features=c.conv_channels,
+                    kernel_size=(3, 3),
+                    strides=(2, 2),
+                    padding=(t_pad, (1, 1)),
+                    dtype=self.dtype,
+                    name=f"conv{i}",
+                )(h)
             h = nn.relu(h)
         b, t, f, ch = h.shape
         # NeMo flattens (C, F) channel-major before its `out` Linear; the
@@ -724,6 +763,7 @@ class ConformerEncoder(nn.Module):
         train: bool = False,
         cache: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
         drop_extra_pre_encoded: int = 0,
+        bypass_pre_encode: bool = False,
     ):
         """`cache` enables cache-aware streaming (NeMo conformer_encoder.py
         forward_internal cache path :630-760): a tuple of stacked per-layer
@@ -733,9 +773,21 @@ class ConformerEncoder(nn.Module):
         after subsampling (conformer_encoder.py:646-648). Returns
         (encoded, lengths, layer_feats, new_cache) in streaming mode."""
         c = self.cfg
-        x = jnp.transpose(features, (0, 2, 1))                 # (B, T, F)
-        x = ConvSubsampling(c, self.dtype, name="pre_encode")(x)
-        out_len = subsampled_length(lengths, c.subsampling_factor)
+        if bypass_pre_encode:
+            # features are PRE-ENCODED embeddings (B, T, d_model) — skip the
+            # pre-encode module and length subsampling (NeMo
+            # conformer_encoder.py bypass_pre_encode, :556-574)
+            if features.shape[-1] != c.d_model:
+                raise ValueError(
+                    f"bypass_pre_encode expects (B, T, d_model={c.d_model}) "
+                    f"embeddings, got feature dim {features.shape[-1]}")
+            x = features.astype(self.dtype)
+            out_len = lengths
+        else:
+            x = jnp.transpose(features, (0, 2, 1))             # (B, T, F)
+            x = ConvSubsampling(c, self.dtype, name="pre_encode")(x)
+            out_len = subsampled_length(lengths, c.subsampling_factor,
+                                        c.subsampling)
         if cache is not None and drop_extra_pre_encoded > 0:
             x = x[:, drop_extra_pre_encoded:, :]
             out_len = jnp.maximum(out_len - drop_extra_pre_encoded, 0)
@@ -749,6 +801,14 @@ class ConformerEncoder(nn.Module):
 
         mask = jnp.arange(t)[None, :] < out_len[:, None]       # (B, T)
         x = jnp.where(mask[..., None], x, 0.0)
+
+        # optional output projection (NeMo ConformerEncoder feat_out > 0);
+        # applied to the FINAL output only — layer_feats stay at d_model
+        fo = getattr(c, "feat_out", -1)
+        if fo and fo > 0 and fo != c.d_model:
+            fin = nn.Dense(fo, dtype=self.dtype, name="out_proj")
+        else:
+            fin = lambda z: z
 
         layer = ConformerLayer(c, self.dtype, name="layers")
 
@@ -769,7 +829,7 @@ class ConformerEncoder(nn.Module):
             )
             x, (layer_feats, new_lc, new_lt) = scanned(layer, x, (lc, lt))
             new_len = jnp.minimum(lc_len + out_len, lc.shape[2])
-            return x, out_len, layer_feats, (new_lc, new_len, new_lt)
+            return fin(x), out_len, layer_feats, (new_lc, new_len, new_lt)
 
         # stochastic depth (NeMo conformer_encoder.py:699-710): layer l's
         # output is dropped with prob p_l during training, otherwise the
@@ -814,7 +874,7 @@ class ConformerEncoder(nn.Module):
                 x, out_len = SubsamplingReductionModule(
                     c.reduction, c.d_model, c.reduction_factor, self.dtype,
                     name="reduction_subsampling")(x, out_len)
-            return x, out_len, layer_feats
+            return fin(x), out_len, layer_feats
 
         # mid-stack reduction (conformer_encoder.py:712-724): layers 0..pos run
         # at full rate, the stack after `reduction_position` at the reduced
@@ -833,4 +893,4 @@ class ConformerEncoder(nn.Module):
         layer_post = ConformerLayer(c, self.dtype, name="layers_post")
         x, layer_feats = run_scan(make_body(pos_emb2, mask2), layer_post, x,
                                   drop_probs[n1:])
-        return x, out_len, layer_feats
+        return fin(x), out_len, layer_feats
