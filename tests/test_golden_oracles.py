@@ -184,3 +184,28 @@ def test_word_error_rate_matches_textbook_dp():
             len(ref.split()), 1)
         got = word_error_rate([hyp], [ref])
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_wordpiece_matches_hf_tokenizers():
+    """WordPieceTokenizer vs HuggingFace's Rust WordPiece on the same vocab:
+    greedy longest-match with '##' continuations, whole-word [UNK]."""
+    from tokenizers.models import WordPiece as HFWordPiece
+    from tokenizers.pre_tokenizers import Whitespace
+
+    from tpu_asr.data.tokenizer import WordPieceTokenizer
+
+    vocab = (["[UNK]"] + [c for c in "abcdehilnorstuw"]
+             + ["##" + c for c in "abcdehilnorstuw"]
+             + ["the", "hello", "wor", "##ld", "##llo", "he"])
+    ours = WordPieceTokenizer(vocab, lowercase=True)
+
+    hf = Tokenizer(HFWordPiece({p: i for i, p in enumerate(vocab)},
+                               unk_token="[UNK]"))
+    hf.pre_tokenizer = Whitespace()
+
+    for text in ("hello world", "the dazzler hello", "worst northода"):
+        got = ours.text_to_ids(text)
+        want = hf.encode(text.lower()).ids
+        assert got == want, (text, got, want)
+    # round trip through ids_to_text re-joins '##' continuations
+    assert ours.ids_to_text(ours.text_to_ids("hello wor")) == "hello wor"

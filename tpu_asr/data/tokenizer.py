@@ -419,6 +419,104 @@ class CharTokenizer:
         return cls(json.loads(Path(path).read_text())["char_vocab"])
 
 
+class WordPieceTokenizer:
+    """WordPiece ('wpe') tokenizer — the BERT-style greedy longest-match
+    scheme NeMo's `tokenizer.type: wpe` uses via HuggingFace BertTokenizer
+    (SURVEY.md N13 'aggregate/char/wpe variants'). Continuation pieces carry
+    the '##' prefix; unknown spans map to [UNK]."""
+
+    UNK = "[UNK]"
+
+    def __init__(self, vocab: Sequence[str], lowercase: bool = True):
+        self.pieces = list(vocab)
+        if self.UNK not in self.pieces:
+            self.pieces.insert(0, self.UNK)
+        self.piece_to_id = {p: i for i, p in enumerate(self.pieces)}
+        self.lowercase = lowercase
+        self.unk_id = self.piece_to_id[self.UNK]
+
+    @classmethod
+    def from_corpus(cls, corpus: Iterable[str], vocab_size: int,
+                    lowercase: bool = True) -> "WordPieceTokenizer":
+        """Greedy frequency-based builder: all characters, then the most
+        frequent whole words / prefixes until vocab_size."""
+        from collections import Counter
+        words = Counter()
+        chars = set()
+        for line in corpus:
+            if lowercase:
+                line = line.lower()
+            for w in line.split():
+                words[w] += 1
+                chars.update(w)
+        vocab = [cls.UNK] + sorted(chars) + sorted(
+            "##" + c for c in chars)
+        for w, _ in words.most_common():
+            if len(vocab) >= vocab_size:
+                break
+            if w not in vocab:
+                vocab.append(w)
+        return cls(vocab[:max(vocab_size, len(chars) * 2 + 1)], lowercase)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.pieces)
+
+    @property
+    def vocab(self) -> List[str]:
+        return list(self.pieces)
+
+    def _word_to_ids(self, word: str) -> List[int]:
+        ids, pos, first = [], 0, True
+        while pos < len(word):
+            end = len(word)
+            cur = None
+            while end > pos:
+                piece = word[pos:end]
+                if not first:
+                    piece = "##" + piece
+                if piece in self.piece_to_id:
+                    cur = self.piece_to_id[piece]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_id]     # whole word -> [UNK] (BERT rule)
+            ids.append(cur)
+            pos = end
+            first = False
+        return ids
+
+    def text_to_ids(self, text: str) -> List[int]:
+        if self.lowercase:
+            text = text.lower()
+        out: List[int] = []
+        for w in text.split():
+            out.extend(self._word_to_ids(w))
+        return out
+
+    def ids_to_text(self, ids: Iterable[int]) -> str:
+        words: List[str] = []
+        for i in ids:
+            if not 0 <= i < len(self.pieces):
+                continue
+            p = self.pieces[i]
+            if p.startswith("##") and words:
+                words[-1] += p[2:]
+            else:
+                words.append(p)
+        return " ".join(words)
+
+    def save(self, path) -> None:
+        Path(path).write_text(json.dumps(
+            {"wpe_vocab": self.pieces, "lowercase": self.lowercase},
+            ensure_ascii=False))
+
+    @classmethod
+    def from_file(cls, path) -> "WordPieceTokenizer":
+        d = json.loads(Path(path).read_text())
+        return cls(d["wpe_vocab"], d.get("lowercase", True))
+
+
 def train_bpe(corpus: Iterable[str], vocab_size: int,
               character_coverage: float = 1.0) -> SentencePieceBPETokenizer:
     """Tiny BPE trainer with SentencePiece conventions: `<unk>` id 0 (UNKNOWN),
