@@ -390,3 +390,42 @@ def test_block_attention_dropout_deterministic():
     a3 = _run_block(x, p_, mask, h, rate=0.3, seed=seed + 1)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     assert not np.allclose(np.asarray(a1), np.asarray(a3))
+
+
+def test_block_attention_packed_segments_match_solo():
+    """Packed-segment mask (seg_id operand): each segment inside a packed row
+    must reproduce the solo forward of that segment — this pins BOTH the
+    in-kernel segment-block mask and the translation invariance of the
+    rotation-factored position scores (a segment at offset 60 uses different
+    absolute sin/cos table rows, but bd[t,s] depends only on t-s)."""
+    from tpu_asr.ops.pallas_attention import fused_relpos_attention_block
+
+    rng = np.random.default_rng(7)
+    d, h, t = 64, 4, 128
+    len1, len2, off2 = 50, 40, 60          # guard gap 60-50 = 10 frames
+    p_ = _block_params(rng, d, h)
+    x1 = jnp.asarray(rng.normal(size=(1, len1, d)).astype(np.float32) * 0.5)
+    x2 = jnp.asarray(rng.normal(size=(1, len2, d)).astype(np.float32) * 0.5)
+    packed = jnp.zeros((1, t, d), jnp.float32)
+    packed = packed.at[:, :len1].set(x1).at[:, off2:off2 + len2].set(x2)
+    seg = np.zeros((1, t), np.int32)
+    seg[0, :len1] = 1
+    seg[0, off2:off2 + len2] = 2
+    mask = jnp.asarray(seg > 0)
+
+    def run(x, m, seg_id=None):
+        return fused_relpos_attention_block(
+            x, p_["wq"], p_["bq"], p_["wk"], p_["bk"], p_["wv"], p_["bv"],
+            p_["bu"], p_["bvv"], p_["wpos"], p_["wo"], m, n_heads=h,
+            seg_id=seg_id, interpret=True)
+
+    got = np.asarray(run(packed, mask, seg_id=jnp.asarray(seg)))
+    solo1 = np.asarray(run(x1, jnp.ones((1, len1), bool)))
+    solo2 = np.asarray(run(x2, jnp.ones((1, len2), bool)))
+    np.testing.assert_allclose(got[0, :len1], solo1[0], rtol=1e-2, atol=3e-3)
+    np.testing.assert_allclose(got[0, off2:off2 + len2], solo2[0],
+                               rtol=1e-2, atol=3e-3)
+    # cross-check: WITHOUT seg_id (plain key mask) segment 1 must see
+    # segment 2 and diverge from its solo forward
+    plain = np.asarray(run(packed, mask))
+    assert not np.allclose(plain[0, :len1], solo1[0], rtol=1e-2, atol=3e-3)

@@ -238,7 +238,14 @@ class RelPositionMultiHeadAttention(nn.Module):
         deterministic: bool = True,
         kv_cache: Optional[jnp.ndarray] = None,   # (B, C, D) right-aligned history
         kv_valid: Optional[jnp.ndarray] = None,   # (B,) valid frames in kv_cache
+        seg_id: Optional[jnp.ndarray] = None,     # (B, T) int32, 0 = invalid
     ) -> jnp.ndarray:
+        """`seg_id` enables packed-segment attention (multiple utterances per
+        row, serving path): query t may attend key s iff seg_id[t] == seg_id[s]
+        and seg_id[s] > 0. Relative-position scores are translation-invariant,
+        so within-segment semantics match the per-utterance forward exactly.
+        Valid only for the offline 'regular' style (no kv_cache, no chunked
+        mask, no global tokens — their masks are row-absolute)."""
         d, h = self.d_model, self.n_heads
         dk = d // h
         b, t, _ = x.shape
@@ -264,6 +271,12 @@ class RelPositionMultiHeadAttention(nn.Module):
         bias_u = self.param("pos_bias_u", nn.initializers.zeros, (h, dk), jnp.float32)
         bias_v = self.param("pos_bias_v", nn.initializers.zeros, (h, dk), jnp.float32)
 
+        if seg_id is not None and (self.att_context_style != "regular"
+                                   or self.global_tokens > 0
+                                   or kv_cache is not None):
+            raise ValueError(
+                "packed-segment attention (seg_id) supports only the offline "
+                "'regular' attention style without global tokens")
         backend = self.attention_backend
         if backend == "auto":
             # fused kernel for BOTH inference and training on TPU (its custom
@@ -293,7 +306,7 @@ class RelPositionMultiHeadAttention(nn.Module):
                 x.astype(self.dtype), wq_k, bq_b, wk_k, bk_b, wv_k, bv_b,
                 bias_u, bias_v, w_pos.reshape(d, h, dk), wo_k, mask,
                 n_heads=h, att_context_size=self.att_context_size,
-                dropout_rate=rate, dropout_seed=seed)
+                dropout_rate=rate, dropout_seed=seed, seg_id=seg_id)
             return (out + bo_b.astype(self.dtype)).astype(self.dtype)
 
         proj = lambda z, w, bb: (z.astype(self.dtype) @ w.astype(self.dtype)
@@ -347,7 +360,15 @@ class RelPositionMultiHeadAttention(nn.Module):
         # zeroes padded positions), so no post-softmax zeroing is needed.
         neg = jnp.asarray(-30000.0 if self.dtype == jnp.bfloat16 else -1.0e30,
                           self.dtype)
-        key_bias = jnp.where(mask, 0.0, neg)[:, None, None, :]
+        if seg_id is not None:
+            # packed-segment block mask: key s visible from query t iff both
+            # belong to the same segment (seg 0 = guard/pad, key-invalid).
+            # Guard-query rows see no valid key -> uniform garbage attention,
+            # re-masked by the layer output zeroing like padded rows.
+            pair_ok = (seg_id[:, :, None] == seg_id[:, None, :]) & mask[:, None, :]
+            key_bias = jnp.where(pair_ok, 0.0, neg)[:, None]    # (B, 1, T, T)
+        else:
+            key_bias = jnp.where(mask, 0.0, neg)[:, None, None, :]
         scores = (ac + bd) / math.sqrt(dk) + key_bias
         left, right = self.att_context_size
         if self.att_context_style == "chunked_limited" and right >= 0:
@@ -646,11 +667,18 @@ class ConformerLayer(nn.Module):
         mask: jnp.ndarray,
         train: bool = False,
         cache: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+        seg_id: Optional[jnp.ndarray] = None,
     ):
         """cache (streaming only): (last_channel (B,C,D), last_channel_len (B,),
         last_time (B,Kl,D)) — per-layer slices of the encoder's stacked caches
         (NeMo conformer_encoder.py:692-707). Returns (x, new_lc, new_lt) when
-        given, else x."""
+        given, else x.
+
+        seg_id (packed serving only): (B, T) segment map for packed-segment
+        attention; `mask` must equal seg_id > 0 so the per-layer output
+        re-masking zeroes the inter-segment guard gaps, which keeps the
+        depthwise conv (receptive field ±(k-1)/2) from bleeding across
+        segments as long as the packer leaves >= (k-1)/2 guard frames."""
         c = self.cfg
         det = not train
         drop = lambda h: nn.Dropout(c.dropout, deterministic=det)(h)
@@ -688,7 +716,8 @@ class ConformerLayer(nn.Module):
             global_tokens_spacing=c.global_tokens_spacing,
             global_attn_separate=c.global_attn_separate,
             attention_backend=c.attention_backend, name="self_attn"
-        )(h, pos_emb, mask, deterministic=det, kv_cache=lc, kv_valid=lc_len)
+        )(h, pos_emb, mask, deterministic=det, kv_cache=lc, kv_valid=lc_len,
+          seg_id=seg_id)
         x = x + drop(h)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
@@ -764,6 +793,8 @@ class ConformerEncoder(nn.Module):
         cache: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
         drop_extra_pre_encoded: int = 0,
         bypass_pre_encode: bool = False,
+        pre_encode_only: bool = False,
+        seg_id: Optional[jnp.ndarray] = None,
     ):
         """`cache` enables cache-aware streaming (NeMo conformer_encoder.py
         forward_internal cache path :630-760): a tuple of stacked per-layer
@@ -788,6 +819,13 @@ class ConformerEncoder(nn.Module):
             x = ConvSubsampling(c, self.dtype, name="pre_encode")(x)
             out_len = subsampled_length(lengths, c.subsampling_factor,
                                         c.subsampling)
+        if pre_encode_only:
+            # packed-serving split point (see data/packing.py): raw subsampled
+            # embeddings BEFORE xscale/dropout/masking — the packed re-entry
+            # (bypass_pre_encode=True, seg_id=...) applies those, so gathering
+            # valid frames from here into packed rows reproduces the
+            # per-utterance forward exactly.
+            return x, out_len
         if cache is not None and drop_extra_pre_encoded > 0:
             x = x[:, drop_extra_pre_encoded:, :]
             out_len = jnp.maximum(out_len - drop_extra_pre_encoded, 0)
@@ -799,7 +837,18 @@ class ConformerEncoder(nn.Module):
         pos_emb = rel_positional_encoding(t, c.d_model, self.dtype, cache_len=cache_len)
         x = nn.Dropout(c.dropout_pre_encoder, deterministic=not train)(x)
 
-        mask = jnp.arange(t)[None, :] < out_len[:, None]       # (B, T)
+        if seg_id is not None:
+            if train or cache is not None:
+                raise ValueError("packed-segment encoding (seg_id) is an "
+                                 "eval/serving path (no train, no streaming)")
+            if c.reduction is not None and c.reduction_factor > 1:
+                raise ValueError("packed-segment encoding is incompatible "
+                                 "with mid-stack time reduction (pooling "
+                                 "would merge frames across segments)")
+            mask = seg_id > 0                                  # (B, T)
+            out_len = jnp.sum(mask, axis=1).astype(out_len.dtype)
+        else:
+            mask = jnp.arange(t)[None, :] < out_len[:, None]   # (B, T)
         x = jnp.where(mask[..., None], x, 0.0)
 
         # optional output projection (NeMo ConformerEncoder feat_out > 0);
@@ -845,9 +894,9 @@ class ConformerEncoder(nn.Module):
                     drop_probs[l] = p
         use_sd = train and c.stochastic_depth_drop_prob > 0.0
 
-        def make_body(pos_emb, mask):
+        def make_body(pos_emb, mask, seg_id=None):
             def body(mod, carry, drop_p):
-                y = mod(carry, pos_emb, mask, train=train)
+                y = mod(carry, pos_emb, mask, train=train, seg_id=seg_id)
                 if use_sd:
                     u = jax.random.uniform(mod.make_rng("layerdrop"), ())
                     keep = (u >= drop_p).astype(y.dtype)
@@ -868,8 +917,8 @@ class ConformerEncoder(nn.Module):
         reduce_on = c.reduction is not None and c.reduction_factor > 1
         mid_reduce = reduce_on and 0 <= c.reduction_position < c.n_layers - 1
         if not mid_reduce:
-            x, layer_feats = run_scan(make_body(pos_emb, mask), layer, x,
-                                      drop_probs)
+            x, layer_feats = run_scan(make_body(pos_emb, mask, seg_id), layer,
+                                      x, drop_probs)
             if reduce_on:      # reduction_position == -1: after the last layer
                 x, out_len = SubsamplingReductionModule(
                     c.reduction, c.d_model, c.reduction_factor, self.dtype,

@@ -78,6 +78,26 @@ class CTCModel(nn.Module):
     def decode_logits(self, encoded):
         return self.decoder(encoded)
 
+    def pre_encode(self, processed_signal, processed_signal_length):
+        """Subsampling front half of the encoder only: (B, F, T) log-mel ->
+        raw (B, T', D) pre-encoded embeddings + lengths (before xscale /
+        masking). The packed-serving split point — see data/packing.py."""
+        return self.encoder(processed_signal, processed_signal_length,
+                            train=False, pre_encode_only=True)
+
+    def forward_packed(self, packed: jnp.ndarray, seg_id: jnp.ndarray):
+        """Packed-segment inference: `packed` (R, Tp, D) rows of pre-encoded
+        frames gathered from `pre_encode` outputs (data/packing.pack_frames),
+        `seg_id` (R, Tp) int32 segment map (0 = guard/pad). Each segment's
+        log-probs match the per-utterance forward exactly (segment-block
+        attention + per-layer guard re-masking). Returns (log_probs, greedy).
+        """
+        dummy_len = jnp.zeros((packed.shape[0],), jnp.int32)
+        encoded, _, _ = self.encoder(packed, dummy_len, train=False,
+                                     bypass_pre_encode=True, seg_id=seg_id)
+        log_probs = self.decoder(encoded)
+        return log_probs, jnp.argmax(log_probs, axis=-1)
+
     def stream_step(
         self,
         processed_signal: jnp.ndarray,        # (B, F, Tc_raw + pre_ctx) mel chunk

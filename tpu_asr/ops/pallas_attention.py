@@ -593,9 +593,13 @@ def _project_t(x16, w_ref, bias_ref):
 
 def _block_scores(x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref,
                   bv_ref, wev_ref, wod_ref, sint_ref, cost_ref, cos_ref,
-                  sin_ref, bias, *, t, dk_real, left, right):
+                  sin_ref, bias, *, t, dk_real, left, right, seg=None):
     """Shared by fwd and bwd: projections + scores + softmax in VMEM.
-    Returns (attn (hpp,T,S) fp32, qT, q_uT, q_vT, kT, vT (hpp,dk,T) fp32)."""
+    Returns (attn (hpp,T,S) fp32, qT, q_uT, q_vT, kT, vT (hpp,dk,T) fp32).
+
+    `seg` (packed-segment serving): (segq (t, 1), segk (1, t)) fp32 segment
+    maps of this batch row; query t attends key s iff seg[t] == seg[s] — two
+    VMEM broadcasts + a compare, no (t, t) operand ships from HBM."""
     qt = _project_t(x16, wq_ref, cu_ref)               # carries bq + bias_u
     q_vt = qt - cu_ref[:] + cv_ref[:]                  # swap to bq + bias_v
     kt = _project_t(x16, wk_ref, bk_ref)
@@ -627,6 +631,11 @@ def _block_scores(x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref,
     scores = (ac + bd) * (1.0 / math.sqrt(dk_real)) + bias
     if left >= 0 or right >= 0:
         scores = jnp.where(_local_mask(t, left, right)[None], scores, -1e30)
+    if seg is not None:
+        segq, segk = seg
+        same = (jnp.broadcast_to(segq, (t, t))
+                == jnp.broadcast_to(segk, (t, t)))
+        scores = jnp.where(same[None], scores, -1e30)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -635,14 +644,20 @@ def _block_scores(x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref,
 
 def _block_fwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
                       cv_ref, bk_ref, bv_ref, wev_ref, wod_ref, sin_ref,
-                      cos_ref, sint_ref, cost_ref, bias_ref, wo_ref, o_ref,
-                      *, t, dk_real, left, right, hpp, rate,
+                      cos_ref, sint_ref, cost_ref, bias_ref, wo_ref, *rest,
+                      t, dk_real, left, right, hpp, rate, with_seg=False,
                       interpret=False):
+    if with_seg:
+        segq_ref, segk_ref, o_ref = rest
+        seg = (segq_ref[0], segk_ref[0])
+    else:
+        (o_ref,) = rest
+        seg = None
     x16 = x_ref[0].astype(jnp.bfloat16)                # (T, D)
     attn, _, _, _, vt = _block_scores(
         x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref, bv_ref,
         wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref, bias_ref[0],
-        t=t, dk_real=dk_real, left=left, right=right)
+        t=t, dk_real=dk_real, left=left, right=right, seg=seg)
     if rate > 0.0:
         seed_base = seed_ref[pl.program_id(0), pl.program_id(1) * hpp]
         keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
@@ -846,7 +861,9 @@ def _block_pad(x, sin_t, cos_t, key_bias):
 
 def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
                   key_bias, seed_rows, att_context_size, dropout_rate,
-                  interpret):
+                  interpret, seg=None):
+    """`seg` (B, T) fp32 packed-segment map (eval-only; see data/packing.py)
+    adds two tiny (B, T, 1)/(B, 1, T) operands and an in-VMEM block mask."""
     b, t, d = x.shape
     h, _, dk = wq.shape
     half = wev.shape[-1]
@@ -858,7 +875,8 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
     kernel = functools.partial(_block_fwd_kernel, t=tp, dk_real=dk,
                                left=att_context_size[0],
                                right=att_context_size[1], hpp=hpp,
-                               rate=dropout_rate, interpret=interpret)
+                               rate=dropout_rate, with_seg=seg is not None,
+                               interpret=interpret)
     x_spec = pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((hpp, d, dk), lambda i, j: (j, 0, 0),
@@ -873,18 +891,30 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
                            memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((hpp, dk, d), lambda i, j: (j, 0, 0),
                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((b, h), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        x_spec, w_spec, w_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
+        p_spec, p_spec, t_spec, t_spec, tt_spec, tt_spec,
+        pl.BlockSpec((1, 1, 1, tp), lambda i, j: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        o_spec,
+    ]
+    operands = [seed_rows, x_p, wq, wk, wv, cu, cv, bk, bv, wev, wod,
+                sin_p, cos_p, sint_p, cost_p, bias, wo]
+    if seg is not None:
+        seg_p = jnp.pad(seg.astype(jnp.float32), ((0, 0), (0, tp - t)))
+        in_specs += [
+            pl.BlockSpec((1, tp, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [seg_p[:, :, None], seg_p[:, None, :]]
     out = pl.pallas_call(
         kernel,
         grid=(b, n_g),
-        in_specs=[
-            pl.BlockSpec((b, h), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            x_spec, w_spec, w_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
-            p_spec, p_spec, t_spec, t_spec, tt_spec, tt_spec,
-            pl.BlockSpec((1, 1, 1, tp), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            o_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
@@ -895,8 +925,7 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
             transcendentals=b * h * tp * tp,
         ),
         interpret=interpret,
-    )(seed_rows, x_p, wq, wk, wv, cu, cv, bk, bv, wev, wod,
-      sin_p, cos_p, sint_p, cost_p, bias, wo)
+    )(*operands)
     return out
 
 
@@ -1000,6 +1029,23 @@ def _block_fwd_partitioned(att_context_size, dropout_rate, interpret):
 
 
 @functools.lru_cache(maxsize=None)
+def _block_fwd_partitioned_seg(att_context_size, interpret):
+    """Packed-segment forward (eval-only — no VJP is defined; training uses
+    ordinary per-utterance batches). The (B, T) segment map shards along the
+    batch factor like x."""
+    from tpu_asr.parallel.kernel_sharding import factor_partitioned
+
+    def fun(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
+            key_bias, seed_rows, seg):
+        return _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo,
+                             sin_t, cos_t, key_bias, seed_rows,
+                             att_context_size, 0.0, interpret, seg=seg)
+
+    return factor_partitioned(fun, _BLK_ARGS + (("b", None),), _BLK_OUT,
+                              tuple_out=False, reduce_factors=("h",))
+
+
+@functools.lru_cache(maxsize=None)
 def _block_bwd_partitioned(att_context_size, dropout_rate, interpret):
     from tpu_asr.parallel.kernel_sharding import factor_partitioned
 
@@ -1079,12 +1125,17 @@ def fused_relpos_attention_block(
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    seg_id: Optional[jnp.ndarray] = None,   # (B, T) int, 0 = guard/pad
 ) -> jnp.ndarray:
     """Whole-sublayer fused attention: (B, T, D) in -> (B, T, D) out,
     WITHOUT the linear_out bias (the caller adds it — keeps the bias's
     gradient on the plain-JAX side). Padded/masked-key columns never
     contribute; padded-query rows are garbage and must be re-masked by the
     caller (the ConformerLayer contract, same as fused_relpos_attention).
+
+    `seg_id` enables packed-segment serving (data/packing.py): query t
+    attends key s iff seg_id[t] == seg_id[s] > 0, built in-VMEM from two
+    (B, T) operands. EVAL-ONLY: this path has no VJP and no dropout.
 
     All (D, D) kernels arrive in the checkpoint layout (Dense (in, out));
     per-head splits/permutations happen here on the tiny parameters, outside
@@ -1114,8 +1165,16 @@ def fused_relpos_attention_block(
         base = jnp.reshape(dropout_seed.astype(jnp.int32), (-1,))[0]
         seed_rows = (base + jnp.arange(b, dtype=jnp.int32)[:, None] * h
                      + jnp.arange(h, dtype=jnp.int32)[None, :])
-    out = _block_core(x, wq, wk, wv, cu, cv, bk3, bv3, wev, wod, wo,
-                      sin_t, cos_t, key_bias, seed_rows,
-                      tuple(att_context_size), float(dropout_rate),
-                      interpret)
+    if seg_id is not None:
+        if dropout_rate > 0.0:
+            raise ValueError("packed-segment attention is eval-only "
+                             "(no dropout)")
+        out = _block_fwd_partitioned_seg(tuple(att_context_size), interpret)(
+            x, wq, wk, wv, cu, cv, bk3, bv3, wev, wod, wo, sin_t, cos_t,
+            key_bias, seed_rows, seg_id.astype(jnp.float32))
+    else:
+        out = _block_core(x, wq, wk, wv, cu, cv, bk3, bv3, wev, wod, wo,
+                          sin_t, cos_t, key_bias, seed_rows,
+                          tuple(att_context_size), float(dropout_rate),
+                          interpret)
     return out[:, :t].astype(cdt)
