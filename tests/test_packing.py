@@ -154,3 +154,20 @@ def test_packed_rejects_training_and_reduction(packed_model):
     with pytest.raises(ValueError):
         enc(x, jnp.asarray([16], jnp.int32), train=True,
             bypass_pre_encode=True, seg_id=seg)
+
+
+def test_packed_transcriber_matches_plain(packed_model):
+    """PackedTranscriber text output == Transcriber text output on a mixed
+    duration batch (the serving contract)."""
+    from tpu_asr.data.tokenizer import train_bpe
+    from tpu_asr.models.transcribe import PackedTranscriber, Transcriber
+
+    model, variables, _ = packed_model
+    tok = train_bpe(["a b c d e f g h"], vocab_size=16)
+    rng = np.random.default_rng(3)
+    waves = [rng.normal(size=int(s)).astype(np.float32) * 0.05
+             for s in rng.integers(4000, 16000, size=6)]
+    plain = Transcriber(model, variables, tok, batch_size=3)
+    packed = PackedTranscriber(model, variables, tok, t_pack=64,
+                               pre_batch=3, row_multiple=2)
+    assert packed.transcribe(waves) == plain.transcribe(waves)

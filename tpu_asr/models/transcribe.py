@@ -72,6 +72,112 @@ class Transcriber:
         return results
 
 
+class PackedTranscriber:
+    """Packed-segment batch inference (data/packing.py): several utterances
+    per encoder row, separated by zeroed guard gaps, with segment-block
+    attention — exact per-utterance semantics (tests/test_packing.py) at a
+    fraction of the padding cost on realistic duration mixes.
+
+    Pipeline: bucketed featurize + pre-encode (one compile per bucket shape)
+    -> one device gather into dense (rows, t_pack) packed frames -> ONE
+    packed encoder+decoder forward -> host unpack + greedy decode.
+
+    TPU-native serving design with no reference equivalent (NeMo pads per
+    bucket; SURVEY.md N11): the encoder — ~80% of inference FLOPs — always
+    runs on dense, static, MXU-shaped rows regardless of the length mix.
+    """
+
+    def __init__(self, model: CTCModel, variables, tokenizer,
+                 t_pack: int = 512, row_multiple: int = 4,
+                 pre_batch: int = 32, bucket_seconds: float = 4.0):
+        from tpu_asr.data.packing import guard_frames
+        from tpu_asr.ops.features import FilterbankFeatures
+
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.t_pack = t_pack
+        self.row_multiple = row_multiple
+        self.pre_batch = pre_batch
+        self.bucket_seconds = bucket_seconds
+        self.sample_rate = model.cfg.sample_rate
+        self.guard = guard_frames(model.cfg.encoder.conv_kernel_size)
+        self.blank = model.cfg.decoder.num_classes
+        feat = FilterbankFeatures(model.cfg.preprocessor)
+
+        def pre(sig, ln):
+            f, fl = feat(sig, ln, train=False, rng=None)
+            return model.apply(variables, f, fl, method=CTCModel.pre_encode)
+
+        self._pre = jax.jit(pre)
+        self._packed = jax.jit(
+            lambda p, s: model.apply(variables, p, s,
+                                     method=CTCModel.forward_packed))
+        self._gather = jax.jit(
+            lambda big, rows, pos, valid: jnp.where(
+                valid[..., None], big[rows, pos], 0))
+
+    def _load(self, item) -> np.ndarray:
+        if isinstance(item, (str,)) or hasattr(item, "__fspath__"):
+            return load_audio(item, self.sample_rate)
+        return np.asarray(item, np.float32)
+
+    def greedy_ids(self, audio: Sequence) -> List[np.ndarray]:
+        """audio -> per-utterance greedy frame-label arrays (pre-collapse)."""
+        from tpu_asr.data.packing import plan_packing
+
+        signals = [self._load(a) for a in audio]
+        n = len(signals)
+        order = np.argsort([len(s) for s in signals])
+        quantum = int(self.bucket_seconds * self.sample_rate)
+
+        chunks, lengths = [], np.zeros(n, np.int64)
+        for start in range(0, n, self.pre_batch):
+            idxs = order[start:start + self.pre_batch]
+            batch = [signals[i] for i in idxs]
+            max_len = max(len(s) for s in batch)
+            pad = max(quantum, int(math.ceil(max_len / quantum) * quantum))
+            sig = np.zeros((len(batch), pad), np.float32)
+            ln = np.zeros((len(batch),), np.int32)
+            for j, s in enumerate(batch):
+                sig[j, : len(s)] = s
+                ln[j] = len(s)
+            pre_x, pre_len = self._pre(jnp.asarray(sig), jnp.asarray(ln))
+            chunks.append((idxs, pre_x))
+            lengths[idxs] = np.asarray(pre_len)
+
+        # one (n, T_src, D) tensor; row_of[i] = global row of utterance i
+        t_src = max(int(c.shape[1]) for _, c in chunks)
+        padded = [jnp.pad(c, ((0, 0), (0, t_src - c.shape[1]), (0, 0)))
+                  for _, c in chunks]
+        big = jnp.concatenate(padded, axis=0)
+        row_of = np.zeros(n, np.int32)
+        off = 0
+        for idxs, c in chunks:
+            row_of[idxs] = off + np.arange(len(idxs))
+            off += int(c.shape[0])
+
+        plan = plan_packing(lengths, t_pack=self.t_pack, guard=self.guard,
+                            row_multiple=self.row_multiple)
+        packed = self._gather(big, jnp.asarray(row_of[plan.src_utt]),
+                              jnp.asarray(plan.src_pos),
+                              jnp.asarray(plan.seg_id > 0))
+        _, greedy = self._packed(packed, jnp.asarray(plan.seg_id))
+        from tpu_asr.data.packing import unpack_rows
+        return unpack_rows(np.asarray(greedy), plan)
+
+    def transcribe(self, audio: Sequence) -> List[str]:
+        decoding = CTCDecoding(self.tokenizer, "greedy")
+        texts = []
+        for ids in self.greedy_ids(audio):
+            keep = (ids[np.concatenate(([True], ids[1:] != ids[:-1]))]
+                    if len(ids) else ids)
+            toks = keep[keep != self.blank]
+            texts.append(decoding.decode_tokens_to_str(
+                [int(t) for t in toks]))
+        return texts
+
+
 class ChunkedTranscriber:
     """Fixed-window chunked inference for arbitrarily long audio."""
 
