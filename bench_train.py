@@ -123,6 +123,30 @@ def main() -> None:
             "tflops_per_step": round(fl / 1e12, 3) if fl else None,
         }))
 
+        if name == "logit_kd":
+            # teacher-feature cache (TrainConfig.cache_teacher): epochs >= 1
+            # skip the frozen-teacher forward — measure the cached step on
+            # harvested features (exact semantics; tests/test_teacher_cache)
+            harvest = jax.jit(make_distil_train_step(model,
+                                                     harvest_teacher=True))
+            _, _, (tch_last, _) = harvest(state, batch, key)
+            batch_c = dict(batch)
+            batch_c["tch_last_feat"] = tch_last
+            cached = jax.jit(make_distil_train_step(model,
+                                                    cached_teacher=True))
+            st_c, mets_c = cached(state, batch_c, key)
+            float(mets_c["loss/total"])
+            t0 = time.perf_counter()
+            for i in range(STEPS):
+                st_c, mets_c = cached(st_c, batch_c,
+                                      jax.random.fold_in(key, i))
+            float(mets_c["loss/total"])
+            dt_c = (time.perf_counter() - t0) / STEPS
+            print(json.dumps({
+                "config": "logit_kd + cache_teacher (epochs >= 1)",
+                "ms_per_step": round(dt_c * 1e3, 1),
+                "audio_sec_per_sec": round(B * SEC / dt_c, 1)}))
+
 
 if __name__ == "__main__":
     main()

@@ -80,6 +80,10 @@ def add_common_data_args(p: argparse.ArgumentParser):
     # framework knob (no reference equivalent): K optimizer steps per device
     # dispatch — lax.scan over stacked same-bucket batches (TrainConfig)
     p.add_argument("--steps_per_dispatch", type=int, default=1)
+    # framework knob (no reference equivalent): cache the frozen teacher's
+    # last-layer features per utterance after epoch 0 and skip the teacher
+    # forward — exact for logit/last-layerwise KD (TrainConfig.cache_teacher)
+    p.add_argument("--cache_teacher", action="store_true")
     # offline extensions
     p.add_argument("--train_manifest", type=str, default=None)
     p.add_argument("--val_manifest", type=str, default=None)
@@ -379,6 +383,7 @@ def run_training(args, corpus: str = "librispeech",
         test_ds=DataConfig(shuffle=False, **ds_cfg),
         max_epochs=args.epochs,
         steps_per_dispatch=args.steps_per_dispatch,
+        cache_teacher=getattr(args, "cache_teacher", False),
         dp_size=args.gpus if args.gpus and args.gpus > 0 else -1)
 
     workdir = Path(args.output_dir) / (os.getenv("EXP_NAME") or "run")

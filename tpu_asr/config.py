@@ -363,6 +363,14 @@ class TrainConfig:
     # same-bucket batches; train/trainer.make_distil_multi_step) — amortizes
     # the host dispatch floor. max_steps granularity becomes K.
     steps_per_dispatch: int = 1
+    # Teacher-feature cache: the frozen teacher consumes the UNAUGMENTED
+    # signal in eval mode (asr_train.py:591-592), so its last-layer features
+    # are deterministic per utterance. With this on, epoch 0 harvests them
+    # (host RAM, fp16 under bf16 compute — a lossless widening) and later
+    # epochs skip the whole teacher forward with identical loss semantics.
+    # Only valid for logit KD / last-scope layerwise KD (the other KD modes
+    # need all 16 teacher layers); ~150 KB x utterances of host RAM.
+    cache_teacher: bool = False
     # parallelism
     dp_size: int = -1      # -1: all devices on the data axis
     tp_size: int = 1

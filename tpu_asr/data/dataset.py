@@ -145,14 +145,16 @@ def make_dataloader(dataset: AudioToBPEDataset, cfg: DataConfig,
                 samples = list(pool.map(dataset.__getitem__, idxs))
             else:
                 samples = [dataset[i] for i in idxs]
-            yield _collate(samples, int(edges[b]), token_quantum, pad_batch_to)
+            yield _collate(samples, int(edges[b]), token_quantum, pad_batch_to,
+                           idxs=idxs)
     finally:
         if pool is not None:
             pool.shutdown(wait=False)
 
 
 def _collate(samples, pad_sig: int, token_quantum: int,
-             pad_batch_to: Optional[int] = None) -> Dict[str, np.ndarray]:
+             pad_batch_to: Optional[int] = None,
+             idxs=None) -> Dict[str, np.ndarray]:
     max_tok = max((len(s.tokens) for s in samples), default=1)
     pad_tok = max(token_quantum,
                   int(math.ceil(max_tok / token_quantum) * token_quantum))
@@ -172,9 +174,15 @@ def _collate(samples, pad_sig: int, token_quantum: int,
         tl = min(len(s.tokens), pad_tok)
         tokens[i, :tl] = s.tokens[:tl]
         token_len[i] = tl
-    return {"signal": signal, "signal_len": signal_len,
-            "tokens": tokens, "token_len": token_len,
-            "texts": [s.text for s in samples]}
+    out = {"signal": signal, "signal_len": signal_len,
+           "tokens": tokens, "token_len": token_len,
+           "texts": [s.text for s in samples]}
+    if idxs is not None:
+        # dataset indices per row, cyclic like the padding rows — identity
+        # key for the teacher-feature cache (train/loop.py)
+        out["utt_idx"] = np.asarray(
+            [idxs[i % n_real] for i in range(bs)], np.int32)
+    return out
 
 
 def stack_batches(iterator, k: int):

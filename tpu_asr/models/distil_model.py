@@ -54,6 +54,9 @@ class DistilOutput(NamedTuple):
     greedy: jnp.ndarray          # (B, T')
     losses: Dict[str, jnp.ndarray]
     metrics: Dict[str, jnp.ndarray]
+    # teacher last-layer feature (B, T', Dt) when the teacher ran in-graph —
+    # harvested by the teacher-feature cache (train/loop.py); None otherwise
+    tch_last: Optional[jnp.ndarray] = None
 
 
 class DistilCTCModel(nn.Module):
@@ -166,7 +169,17 @@ class DistilCTCModel(nn.Module):
         transcripts: Optional[jnp.ndarray] = None,       # (B, S)
         transcript_lengths: Optional[jnp.ndarray] = None,
         train: bool = False,
+        tch_last_feat: Optional[jnp.ndarray] = None,     # (B, T', Dt) cached
     ) -> DistilOutput:
+        """`tch_last_feat`: cached teacher last-layer features (the teacher-
+        feature cache, train/loop.py). The reference teacher consumes the
+        UNAUGMENTED signal in eval mode (asr_train.py:591-592: its own
+        preprocessor, no specaug, no_grad), so its outputs are deterministic
+        per utterance — feeding them back skips the whole teacher forward
+        with bit-identical loss semantics (pad rows are exactly zero after
+        the encoder's final re-mask, so decode_logits reproduces the padded-
+        frame log-probs too). Only valid when the teacher's sole consumers
+        are logit KD and/or last-scope layerwise KD."""
         d = self.distill
         losses: Dict[str, jnp.ndarray] = {}
         metrics: Dict[str, jnp.ndarray] = {}
@@ -183,11 +196,26 @@ class DistilCTCModel(nn.Module):
             d.use_flow_matching and d.flow is not None and d.flow.use_dynamic_steps)
         tch_feats = None
         tch_encoded = None
+        tch_last = None
+        if tch_last_feat is not None:
+            cacheable = not (
+                d.use_flow_matching or d.use_diffkd or d.use_diffm
+                or (d.use_layerwise_distillation
+                    and d.layer_kd_scope != "last"))
+            if not cacheable:
+                raise ValueError(
+                    "cached teacher features (tch_last_feat) support only "
+                    "logit KD and last-scope layerwise KD; FM/DiffKD/diffm/"
+                    "full-layerwise need all 16 teacher layers")
+            tch_last = jax.lax.stop_gradient(
+                tch_last_feat.astype(encoded.dtype))
+            needs_teacher = False
         if needs_teacher:
             tch_encoded, _, tch_feats = self.teacher.encode(
                 input_signal, input_signal_length, train=False)
             tch_encoded = jax.lax.stop_gradient(tch_encoded)
             tch_feats = jax.lax.stop_gradient(tch_feats)
+            tch_last = tch_feats[-1]
 
         # ----- flow matching over all layers -----
         decoder_in = encoded
@@ -230,20 +258,20 @@ class DistilCTCModel(nn.Module):
 
         # ----- logit KL (teacher decoder on its last-layer feature,
         #       asr_train.py:725-731) -----
-        if train and d.use_logit_distillation and tch_feats is not None:
-            tch_log_probs = self.teacher.decode_logits(tch_feats[-1])
+        if train and d.use_logit_distillation and tch_last is not None:
+            tch_log_probs = self.teacher.decode_logits(tch_last)
             tch_log_probs = jax.lax.stop_gradient(tch_log_probs)
             losses["logit_kd"] = d.kd_alpha * logit_kl_loss(
                 log_probs, tch_log_probs, d.kd_temperature)
 
         # ----- layerwise MSE (shared projection, layer-averaged,
         #       asr_train.py:736-748) -----
-        if train and d.use_layerwise_distillation and tch_feats is not None \
+        if train and d.use_layerwise_distillation and tch_last is not None \
                 and d.layer_kd_scope == "last":
             # final-layer feature MSE only (DistilEncDecCTCModelBPE path)
             proj = self.layer_proj(stu_feats[-1])
             losses["layer_kd"] = d.layer_kd_alpha * layerwise_mse_loss(
-                proj[None], tch_feats[-1:], average_layers=True)
+                proj[None], tch_last[None], average_layers=True)
         elif train and d.use_layerwise_distillation and tch_feats is not None:
             if d.diffm_fresh_layer_proj:
                 # diffm quirk: fresh random (never-trained) per-layer Linear,
@@ -291,4 +319,5 @@ class DistilCTCModel(nn.Module):
         for v in losses.values():
             total = total + v
         losses["total"] = total
-        return DistilOutput(log_probs, encoded_len, greedy, losses, metrics)
+        return DistilOutput(log_probs, encoded_len, greedy, losses, metrics,
+                            tch_last=tch_last if needs_teacher else None)

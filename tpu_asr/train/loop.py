@@ -63,6 +63,36 @@ class MetricsLogger:
             self._wandb.log(row, step=int(step))
 
 
+class TeacherFeatureCache:
+    """Host-RAM store of per-utterance frozen-teacher last-layer features
+    (models/distil_model.py `tch_last_feat` docstring: the teacher input is
+    unaugmented and eval-mode, so these are deterministic — caching them is
+    semantics-preserving). fp16 under a bf16 compute path is a lossless
+    widening; fp32 compute stores fp32."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+        self.data = {}        # utt idx -> (T_i, Dt) np array
+        self.tprime = {}      # padded signal length -> encoded T'
+
+    def has_all(self, idxs) -> bool:
+        return all(int(i) in self.data for i in idxs)
+
+    def put_batch(self, idxs, feats, lengths, l_pad: int) -> None:
+        self.tprime[l_pad] = int(feats.shape[1])
+        for r, i in enumerate(idxs):
+            i = int(i)
+            if i not in self.data:
+                self.data[i] = feats[r, : int(lengths[r])].astype(self.dtype)
+
+    def assemble(self, idxs, t_prime: int, d_t: int) -> np.ndarray:
+        out = np.zeros((len(idxs), t_prime, d_t), self.dtype)
+        for r, i in enumerate(idxs):
+            f = self.data[int(i)]
+            out[r, : f.shape[0]] = f
+        return out
+
+
 class Trainer:
     """Config-driven KD trainer (one class for all four reference trainers)."""
 
@@ -83,6 +113,34 @@ class Trainer:
         self._train_step = jax.jit(make_distil_train_step(model))
         self._multi_step = jax.jit(make_distil_multi_step(model))
         self._eval_step = jax.jit(make_distil_eval_step(model))
+        self._cache: Optional[TeacherFeatureCache] = None
+        if cfg.cache_teacher:
+            d = model.distill
+            teacher_used = (d.use_logit_distillation
+                            or d.use_layerwise_distillation or
+                            d.use_flow_matching or d.use_diffkd or d.use_diffm)
+            cacheable = teacher_used and not (
+                d.use_flow_matching or d.use_diffkd or d.use_diffm
+                or (d.use_layerwise_distillation
+                    and d.layer_kd_scope != "last"))
+            if teacher_used and not cacheable:
+                raise ValueError(
+                    "cache_teacher supports only logit KD / last-scope "
+                    "layerwise KD (FM/DiffKD/diffm consume all teacher "
+                    "layers)")
+            if cfg.steps_per_dispatch > 1:
+                raise ValueError(
+                    "cache_teacher with steps_per_dispatch > 1 is not "
+                    "supported (mixed cached/harvest batches cannot stack)")
+            if cacheable:
+                self._cache = TeacherFeatureCache(
+                    np.float16
+                    if model.student_cfg.compute_dtype == "bfloat16"
+                    else np.float32)
+                self._train_step_cached = jax.jit(
+                    make_distil_train_step(model, cached_teacher=True))
+                self._train_step_harvest = jax.jit(
+                    make_distil_train_step(model, harvest_teacher=True))
         self.state: Optional[DistilTrainState] = None
 
     def _dp_size(self) -> int:
@@ -161,9 +219,12 @@ class Trainer:
             spd = max(1, cfg.steps_per_dispatch)
             if spd > 1:
                 raw = stack_batches(raw, spd)
+            if self._cache is not None:
+                raw = self._attach_cached_teacher(raw)
             loader = prefetch_to_device(raw, self.mesh)
             for batch in loader:
                 texts = batch.pop("texts", None)
+                utt_idx = batch.pop("utt_idx", None)
                 if batch.pop("_steps", False):
                     # K steps in one device dispatch; log the dispatch's
                     # last-step metrics when a log boundary was crossed
@@ -173,6 +234,19 @@ class Trainer:
                     n_done = spd
                     # periodic train-WER reads one batch, not the stack
                     batch = jax.tree.map(lambda v: v[-1], batch)
+                elif "tch_last_feat" in batch:
+                    self.state, metrics = self._train_step_cached(
+                        self.state, batch, base_rng)
+                    n_done = 1
+                elif self._cache is not None and utt_idx is not None:
+                    # harvest epoch: train normally AND record the teacher's
+                    # last-layer features for every utterance in the batch
+                    self.state, metrics, (tch_last, enc_len) = \
+                        self._train_step_harvest(self.state, batch, base_rng)
+                    self._cache.put_batch(
+                        np.asarray(utt_idx), np.asarray(tch_last),
+                        np.asarray(enc_len), batch["signal"].shape[1])
+                    n_done = 1
                 else:
                     self.state, metrics = self._train_step(self.state, batch,
                                                            base_rng)
@@ -197,6 +271,22 @@ class Trainer:
                 self.logger.log({f"val/{k}": v for k, v in val.items()},
                                 int(self.state.step))
         return self.state
+
+    def _attach_cached_teacher(self, raw):
+        """Iterator wrapper: once every utterance of a batch has harvested
+        teacher features (and the bucket's T' is known), attach the assembled
+        (B, T', Dt) tensor so the cached step skips the teacher forward.
+        Runs BEFORE prefetch_to_device, so the tensor rides the same
+        double-buffered host->device feed (sharded over `data`)."""
+        d_t = self.model.teacher_cfg.encoder.d_model
+        for batch in raw:
+            idxs = batch.get("utt_idx")
+            l_pad = batch["signal"].shape[1]
+            if (idxs is not None and l_pad in self._cache.tprime
+                    and self._cache.has_all(idxs)):
+                batch["tch_last_feat"] = self._cache.assemble(
+                    idxs, self._cache.tprime[l_pad], d_t)
+            yield batch
 
     def _batch_wer(self, batch, texts) -> float:
         """Greedy WER on the current train batch (periodic train-WER)."""
@@ -232,6 +322,7 @@ class Trainer:
                                 pad_batch_to=self._dp_size()),
                 self.mesh):
             texts = batch.pop("texts")
+            batch.pop("utt_idx", None)
             metrics, (tokens, n_tokens) = self._eval_step(self.state, batch)
             # aggregate loss over REAL utterances only — trailing rows are
             # cyclic-repeat padding for dp divisibility; the batch-mean in

@@ -44,11 +44,18 @@ def _step_rngs(base_rng: jax.Array, step: jnp.ndarray) -> Dict[str, jax.Array]:
             "noise": keys[3], "layerdrop": keys[4]}
 
 
-def make_distil_train_step(model: DistilCTCModel):
+def make_distil_train_step(model: DistilCTCModel, cached_teacher: bool = False,
+                           harvest_teacher: bool = False):
     """Returns train_step(state, batch, base_rng) -> (state, metrics).
 
     batch: dict with `signal` (B, L) f32, `signal_len` (B,) i32,
     `tokens` (B, S) i32, `token_len` (B,) i32.
+
+    Teacher-feature cache variants (train/loop.py TeacherFeatureCache):
+    `cached_teacher` consumes `batch["tch_last_feat"]` (B, T', Dt) instead of
+    running the frozen teacher forward; `harvest_teacher` returns
+    (state, metrics, (tch_last, encoded_len)) so the loop can record the
+    teacher outputs while training normally.
     """
 
     def train_step(state: DistilTrainState, batch: Dict[str, jnp.ndarray],
@@ -60,6 +67,8 @@ def make_distil_train_step(model: DistilCTCModel):
             out, mutated = model.apply(
                 variables, batch["signal"], batch["signal_len"],
                 batch["tokens"], batch["token_len"], train=True,
+                tch_last_feat=(batch["tch_last_feat"] if cached_teacher
+                               else None),
                 rngs=rngs, mutable=["batch_stats"])
             return out.losses["total"], (out, mutated.get("batch_stats",
                                                           state.batch_stats))
@@ -85,6 +94,8 @@ def make_distil_train_step(model: DistilCTCModel):
         metrics.update(out.metrics)
         metrics.update(nan_metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if harvest_teacher:
+            return new_state, metrics, (out.tch_last, out.encoded_len)
         return new_state, metrics
 
     return train_step
