@@ -123,7 +123,11 @@ class PackedTranscriber:
         return np.asarray(item, np.float32)
 
     def greedy_ids(self, audio: Sequence) -> List[np.ndarray]:
-        """audio -> per-utterance greedy frame-label arrays (pre-collapse)."""
+        """audio -> per-utterance greedy frame-label arrays (pre-collapse).
+
+        Utterances longer than t_pack encoded frames (~20.5 s at the default
+        512 x 40 ms) are rejected by the packer — route long-form audio
+        through ChunkedTranscriber instead."""
         from tpu_asr.data.packing import plan_packing
 
         signals = [self._load(a) for a in audio]

@@ -132,6 +132,10 @@ class Trainer:
                 raise ValueError(
                     "cache_teacher with steps_per_dispatch > 1 is not "
                     "supported (mixed cached/harvest batches cannot stack)")
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "cache_teacher is single-host for now: harvesting "
+                    "np.asarray(tch_last) needs the full batch addressable")
             if cacheable:
                 self._cache = TeacherFeatureCache(
                     np.float16
