@@ -198,6 +198,67 @@ def _bench_full(model, variables, infer, headline_rtfx) -> None:
         "vs_baseline": round(rtfx_packed / A100_RTFX_ESTIMATE, 3),
         "vs_bucketed": round(rtfx_packed / rtfx, 2)}))
 
+    # ---- conformer-LARGE (121 M): framework MFU at production scale ----
+    # The small model's ~9% MFU is intrinsic to d_model 176 / dk 44 on a
+    # 128-lane MXU (ROADMAP roofline notes), not a framework property —
+    # the Large row of the reference's size table (conformer_ctc_bpe.yaml:
+    # 7-18: d 512, 18 layers, 8 heads, d_ff 2048) shows the same code at
+    # production dims.
+    from tpu_asr.config import (DecoderConfig as _Dec, EncoderConfig as _Enc,
+                                ModelConfig as _MC)
+    from tpu_asr.ops.ctc import ctc_greedy_decode as _greedy
+
+    large_cfg = _MC(
+        spec_augment=None,
+        encoder=_Enc(n_layers=18, d_model=512, n_heads=8),
+        decoder=_Dec(feat_in=512, num_classes=128))
+    large = _CTC(large_cfg)
+    b_l = 32
+    sig = jnp.asarray(
+        rng.normal(size=(b_l, SECONDS * SR)).astype(np.float32) * 0.1)
+    sl = jnp.full((b_l,), SECONDS * SR, jnp.int32)
+    # params as a jit ARGUMENT: closing over the 121M-param tree embeds it
+    # as constants in the program shipped to the remote compiler (HTTP 413
+    # through the axon tunnel)
+    vars_l = large.init({"params": jax.random.PRNGKey(0)}, sig, sl,
+                        train=False)
+
+    @jax.jit
+    def infer_large(vs, signal, signal_len):
+        out = large.apply(vs, signal, signal_len, train=False)
+        return _greedy(out.log_probs, out.encoded_len)
+
+    # sustained scan over distinct batches (the headline's measurement
+    # pattern): per-call wall time through the tunnel is host-dispatch
+    # noise at this program size (measured 290-560 ms/call vs 36 ms/step
+    # device time in traces)
+    sigs_l = jnp.asarray(
+        rng.normal(size=(ITERS, b_l, SECONDS * SR)).astype(np.float32) * 0.1)
+
+    @jax.jit
+    def infer_large_scan(vs, sigs, signal_len):
+        def body(c, s):
+            toks, n = infer_large(vs, s, signal_len)
+            return c, (jnp.sum(toks), jnp.sum(n))
+        return jax.lax.scan(body, 0, sigs)[1]
+
+    np.asarray(infer_large_scan(vars_l, sigs_l, sl)[0])   # compile + fence
+    t0 = time.perf_counter()
+    r_l = infer_large_scan(vars_l, sigs_l, sl)
+    np.asarray(r_l[0])                        # host-transfer fence
+    dt = (time.perf_counter() - t0) / ITERS
+    fl = compiled_flops(infer_large, vars_l, sig, sl)
+    util = mfu(fl, dt)
+    rtfx_l = b_l * SECONDS / dt
+    print(json.dumps({
+        "metric": "conformer-LARGE (121M, d512x18L) greedy RTFx @ batch 32, "
+                  "sustained",
+        "value": round(rtfx_l, 2), "unit": "x realtime",
+        "vs_baseline": None,
+        "mfu": round(util, 4) if util is not None else None,
+        "tflops_per_step": round(fl / 1e12, 3) if fl else None}))
+    del vars_l, sigs_l
+
     # ---- batched beam-search decode (model + device beam, W=16) ----
     @jax.jit
     def infer_beam(signal, signal_len):

@@ -74,6 +74,23 @@ def test_custom_vjp_matches_reference_grad():
                                rtol=0.05, atol=0.05)
 
 
+def test_large_channels_refuse_pallas_backend():
+    """conv_channels > 240 exceeds the kernel's scoped-VMEM budget (measured
+    on v5e: 240 fits, 256 needs 16.64M of the 16M limit). Explicit 'pallas'
+    must refuse with a clear error instead of a Mosaic compile failure; the
+    'auto' backend must quietly take the XLA path (covered by the gate in
+    ConvSubsampling.fused_ok)."""
+    from tpu_asr.config import EncoderConfig
+    from tpu_asr.models.conformer import ConvSubsampling
+
+    x = jnp.zeros((1, 45, 80), jnp.float32)
+    cfg = EncoderConfig(d_model=512, n_layers=1, n_heads=8,
+                        subsampling_backend="pallas")  # conv_channels -> 512
+    mod = ConvSubsampling(cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="conv_channels <= 240"):
+        mod.init(jax.random.key(0), x)
+
+
 def test_model_backend_equivalence():
     """ConvSubsampling(backend='pallas') == backend='xla' on the SAME param
     tree (checkpoint compatibility + numerics)."""

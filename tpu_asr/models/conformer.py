@@ -83,9 +83,14 @@ class ConvSubsampling(nn.Module):
         n_stages = int(math.log2(c.subsampling_factor))
 
         backend = getattr(c, "subsampling_backend", "auto")
+        # The fused kernel's scoped-VMEM working set grows ~linearly in
+        # conv_channels (measured on v5e: C=240 fits, C=256 needs 16.64M
+        # against the 16M limit) — and at C>=256 the plain XLA convs are
+        # already MXU-friendly (channels a lane multiple), so the kernel
+        # only targets small-C models like the d176 teacher.
         fused_ok = (c.subsampling == "striding" and n_stages == 2
                     and not c.causal_downsampling and x.shape[-1] == 80
-                    and c.conv_channels % 8 == 0)
+                    and c.conv_channels % 8 == 0 and c.conv_channels <= 240)
         if backend == "auto":
             backend = ("pallas" if (fused_ok and
                                     jax.default_backend() == "tpu")
@@ -94,7 +99,8 @@ class ConvSubsampling(nn.Module):
             if not fused_ok:
                 raise ValueError(
                     "subsampling_backend='pallas' requires striding x4 "
-                    "subsampling, symmetric padding, and 80 mel features")
+                    "subsampling, symmetric padding, 80 mel features, and "
+                    "conv_channels <= 240 (VMEM working-set limit)")
             ch = c.conv_channels
             w1, b1 = _Conv2dParams(ch, 1, name="conv0")()
             w2, b2 = _Conv2dParams(ch, ch, name="conv1")()
