@@ -144,6 +144,29 @@ def test_asr_inference_cv_cli_multisplit(env, monkeypatch, capsys):
     assert "commonvoice/test_clean" in out
 
 
+def test_asr_inference_cv_flag_translation(monkeypatch):
+    """The reference's CV-specific flags (asr_inference_CV.py:289-294) map
+    onto the generic data surface: dataset name -> script path, lang ->
+    config name, splits -> val/test, token kept for load_dataset."""
+    import asr_inference_CV
+    seen = {}
+    monkeypatch.setattr(asr_inference_CV, "run_inference",
+                        lambda args: seen.update(vars(args)))
+    monkeypatch.setattr(sys, "argv", [
+        "asr_inference_CV.py", "--ckpt_path", "x.ckpt",
+        "--cv_dataset_name", "mozilla-foundation/common_voice_7_0",
+        "--cv_lang", "de", "--cv_splits", "validation,test",
+        "--hf_token", "tok123"])
+    asr_inference_CV.main()
+    assert seen["data_script_path"] == "mozilla-foundation/common_voice_7_0"
+    assert seen["data_config_name"] == "de"
+    assert seen["data_train_split"] is None
+    assert seen["data_val_split"] == "validation"
+    assert seen["data_test_split"] == "test"
+    assert seen["hf_token"] == "tok123"
+    assert seen["eval_data"] == "commonvoice"
+
+
 def test_asr_train_diffm_GS_and_inference_diffm(env, monkeypatch, capsys):
     root, train_man, val_man, nemo = env
     import asr_train_diffm_GS

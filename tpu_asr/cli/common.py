@@ -292,12 +292,15 @@ def prepare_manifests(args, corpus: str) -> Dict[str, str]:
     splits = {"train": args.data_train_split, "val": args.data_val_split,
               "test": args.data_test_split}
     for name, split in splits.items():
+        if not split:                  # e.g. inference CLIs with no train set
+            continue
         suffix = "_testmode" if args.test_mode else ""
         path = os.path.join(manifest_dir, f"{name}{suffix}.json")
         if not os.path.isfile(path):
             ds = load_dataset(args.data_script_path, args.data_config_name,
                               split=split, trust_remote_code=True,
-                              cache_dir=cache_dir)
+                              cache_dir=cache_dir,
+                              token=getattr(args, "hf_token", None))
             if args.test_mode:
                 ds = ds.select(range(min(100, len(ds))))
             build_manifest_from_hf(ds, path, cache_dir, corpus=corpus)
