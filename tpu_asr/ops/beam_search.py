@@ -12,10 +12,16 @@ Algorithm (Hannun et al. 2014 prefix search, vectorized):
   c == blank (which fuses the blank transition AND the same-symbol
   non-blank continuation — exactly the two `add(prefix, ...)` calls of the
   oracle).
-- Equal prefixes from different parents must MERGE (logsumexp): candidates
-  are sorted by hash pair (`lax.sort`, 2 keys) and reduced with a segmented
-  logsumexp `associative_scan`; each segment's total lands on its last
-  element, the rest drop to -inf.
+- Equal prefixes from different parents must MERGE (logsumexp). Beam
+  prefixes are distinct by construction, so a live prefix q has at most TWO
+  producers: the "stay" of beam q and the ONE extend of beam q[:-1] by
+  q's last token — i.e. every merge pairs an extend candidate with an
+  EXISTING beam's stay. The merge is therefore a direct (B, W, V, W) hash
+  match of rolled extend hashes against the beam hashes: matched extends
+  are absorbed into their beam's stay slot and dropped. (An earlier
+  version sorted all W*V candidates by hash pair and ran a segmented
+  logsumexp; the multi-payload `lax.sort` per frame dominated BOTH the
+  ~4 min TPU compile — sorting networks — and the runtime.)
 - `top_k` keeps the best W candidates; parents' buffers are gathered and
   extended in one vectorized write.
 - Rows beyond a sample's `length` are identity steps (state select), so one
@@ -48,26 +54,6 @@ def _lse(a, b):
     m = jnp.maximum(a, b)
     m_safe = jnp.maximum(m, NEG_INF)
     return m_safe + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m_safe))
-
-
-def _seg_logsumexp(flags, pb, pnb):
-    """Merge equal-hash neighbors along the last axis. `flags[i]` marks a
-    segment start; returns per-position merged values (the segment END holds
-    the full reduction).
-
-    A LIVE prefix q can be produced by at most TWO candidates — "stay" from
-    beam q and "extend" from beam q[:-1] (beam prefixes are distinct by
-    construction) — so segments of live candidates have size <= 2 and ONE
-    shifted merge suffices. Longer segments only occur among dead (-inf)
-    duplicate slots, where an incomplete merge still yields -inf."""
-    prev_pb = jnp.concatenate(
-        [jnp.full_like(pb[:, :1], NEG_INF), pb[:, :-1]], axis=1)
-    prev_pnb = jnp.concatenate(
-        [jnp.full_like(pnb[:, :1], NEG_INF), pnb[:, :-1]], axis=1)
-    same = ~flags
-    spb = jnp.where(same, _lse(pb, prev_pb), pb)
-    spnb = jnp.where(same, _lse(pnb, prev_pnb), pnb)
-    return spb, spnb
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank",
@@ -109,11 +95,30 @@ def ctc_beam_search_batched(
         h2=jnp.zeros((b, w), jnp.uint32).at[:, 0].set(1),
     )
 
+    lower = jnp.tril(jnp.ones((w, w), bool), -1)      # [q, r]: r < q
+
     def step(state, inputs):
         lp, active = inputs                           # (B, V), (B,) bool
         pb, pnb = state["pb"], state["pnb"]           # (B, W)
         last, length = state["last"], state["length"]
         h1, h2 = state["h1"], state["h2"]
+
+        # canonicalize duplicate beams: equal-hash beams are the same prefix
+        # (possible only when finite candidates are scarcer than W, e.g.
+        # tiny vocabularies — top_k then keeps -inf leftover slots); fold
+        # later twins into the earliest so each prefix holds ALL its mass in
+        # one slot (the sorted-merge formulation did this implicitly by
+        # merging stay candidates of equal hash).
+        eq = ((h1[:, :, None] == h1[:, None, :])
+              & (h2[:, :, None] == h2[:, None, :]))   # (B, W, W)
+        has_earlier = jnp.any(eq & lower[None], axis=2)        # (B, W)
+        into = eq & lower.T[None] & ~has_earlier[:, :, None]   # r > q into q
+        inflow_pb = jax.nn.logsumexp(
+            jnp.where(into, pb[:, None, :], NEG_INF), axis=2)
+        inflow_pnb = jax.nn.logsumexp(
+            jnp.where(into, pnb[:, None, :], NEG_INF), axis=2)
+        pb = jnp.where(has_earlier, NEG_INF, _lse(pb, inflow_pb))
+        pnb = jnp.where(has_earlier, NEG_INF, _lse(pnb, inflow_pnb))
 
         p_tot = _lse(pb, pnb)                         # (B, W)
         lp_c = lp[:, None, :]                         # (B, 1, V)
@@ -133,41 +138,42 @@ def ctc_beam_search_batched(
         # the blank slot is the STAY candidate
         stay_pb = p_tot + lp[:, None, blank]
         stay_pnb = pnb + jnp.where(has_last, lp_last, NEG_INF)
-        cand_pb = cand_pb.at[:, :, blank].set(stay_pb)
-        cand_pnb = cand_pnb.at[:, :, blank].set(stay_pnb)
 
         # hashes: extends roll the parent hash; stay keeps it
         tok_u = tok_ids.astype(jnp.uint32)[None, None, :] + jnp.uint32(2)
-        ch1 = h1[:, :, None] * _H1_MULT + tok_u
-        ch2 = h2[:, :, None] * _H2_MULT + tok_u
-        ch1 = ch1.at[:, :, blank].set(h1)
-        ch2 = ch2.at[:, :, blank].set(h2)
+        rh1 = h1[:, :, None] * _H1_MULT + tok_u        # (B, W, V)
+        rh2 = h2[:, :, None] * _H2_MULT + tok_u
+
+        # merge: an extend whose rolled hash equals an EXISTING beam's hash
+        # produces that beam's prefix — absorb it into the beam's stay slot
+        # and drop it. At most one live match exists on each side (beam
+        # prefixes are distinct; only q[:-1]+q[-1] rebuilds q), so a first-
+        # match guard + max-reduction implement the exact logsumexp merge.
+        is_ext = tok_ids != blank                      # (V,)
+        match = ((rh1[..., None] == h1[:, None, None, :])
+                 & (rh2[..., None] == h2[:, None, None, :])
+                 & is_ext[None, None, :, None])        # (B, W, V, Wq)
+        first = match & (jnp.cumsum(match, axis=-1) == 1)
+        contrib = jnp.where(first, cand_pnb[..., None], NEG_INF)
+        absorbed = jnp.max(contrib, axis=(1, 2))       # (B, Wq)
+        stay_pnb = _lse(stay_pnb, absorbed)
+        merged_away = jnp.any(first, axis=-1)          # (B, W, V)
+        cand_pnb = jnp.where(merged_away, NEG_INF, cand_pnb)
+
+        cand_pb = cand_pb.at[:, :, blank].set(stay_pb)
+        cand_pnb = cand_pnb.at[:, :, blank].set(stay_pnb)
+        ch1 = rh1.at[:, :, blank].set(h1)
+        ch2 = rh2.at[:, :, blank].set(h2)
 
         n = w * v
         flat = lambda x: x.reshape(b, n)
-        # carry (pb, pnb, slot-index) as sort payloads — payload operands
-        # beat post-sort gathers on TPU; parent/token decode from the index
-        sh1, sh2, spb, spnb, perm = jax.lax.sort(
-            (flat(ch1), flat(ch2), flat(cand_pb), flat(cand_pnb),
-             jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))),
-            dimension=-1, num_keys=2)
-        sparent = perm // v                            # slot (j, c) layout
-        stok = perm % v
-
-        seg_start = jnp.concatenate(
-            [jnp.ones((b, 1), bool),
-             (sh1[:, 1:] != sh1[:, :-1]) | (sh2[:, 1:] != sh2[:, :-1])],
-            axis=1)
-        mpb, mpnb = _seg_logsumexp(seg_start, spb, spnb)
-        seg_end = jnp.concatenate([seg_start[:, 1:],
-                                   jnp.ones((b, 1), bool)], axis=1)
-        totals = jnp.where(seg_end, _lse(mpb, mpnb), NEG_INF)
-
+        totals = _lse(flat(cand_pb), flat(cand_pnb))
         _, top_idx = jax.lax.top_k(totals, w)          # (B, W)
-        take = lambda x: jnp.take_along_axis(x, top_idx, axis=1)
-        new_pb, new_pnb = take(mpb), take(mpnb)
-        new_h1, new_h2 = take(sh1), take(sh2)
-        sel_parent, sel_tok = take(sparent), take(stok)
+        take = lambda x: jnp.take_along_axis(flat(x), top_idx, axis=1)
+        new_pb, new_pnb = take(cand_pb), take(cand_pnb)
+        new_h1, new_h2 = take(ch1), take(ch2)
+        sel_parent = top_idx // v                      # slot (j, c) layout
+        sel_tok = top_idx % v
         is_stay = sel_tok == blank
 
         parent_buf = jnp.take_along_axis(
