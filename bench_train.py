@@ -147,6 +147,37 @@ def main() -> None:
                 "ms_per_step": round(dt_c * 1e3, 1),
                 "audio_sec_per_sec": round(B * SEC / dt_c, 1)}))
 
+        if name == "ctc_student":
+            # batch-scaling: B=64 is the reference's bf16 batch guidance
+            # (conformer_ctc_bpe.yaml:28-43) — remat keeps activations O(1)
+            # per layer, so the bigger batch fits easily and feeds the MXU
+            # larger matmuls
+            b2 = 2 * B
+            batch64 = {
+                "signal": jnp.asarray(
+                    rng.normal(size=(b2, SEC * SR)).astype(np.float32)
+                    * 0.1),
+                "signal_len": jnp.full((b2,), SEC * SR, jnp.int32),
+                "tokens": jnp.asarray(
+                    rng.integers(0, 128, size=(b2, TOKENS)), jnp.int32),
+                "token_len": jnp.full((b2,), TOKENS, jnp.int32),
+            }
+            st64, m64 = step(state, batch64, key)
+            float(m64["loss/total"])
+            t0 = time.perf_counter()
+            for i in range(STEPS):
+                st64, m64 = step(st64, batch64, jax.random.fold_in(key, i))
+            float(m64["loss/total"])
+            dt64 = (time.perf_counter() - t0) / STEPS
+            fl64 = compiled_flops(step, state, batch64, key)
+            print(json.dumps({
+                "config": "ctc_student @ batch 64",
+                "ms_per_step": round(dt64 * 1e3, 1),
+                "audio_sec_per_sec": round(b2 * SEC / dt64, 1),
+                "mfu": (round(mfu(fl64, dt64), 4)
+                        if mfu(fl64, dt64) is not None else None),
+                "tflops_per_step": round(fl64 / 1e12, 3) if fl64 else None}))
+
 
 if __name__ == "__main__":
     main()

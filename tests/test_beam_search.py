@@ -115,3 +115,30 @@ def test_ctcdecoding_beam_batch_strategy():
         dec_host.ctc_decoder_predictions_tensor(lp, lens)
     with pytest.raises(ValueError, match="beam_batch"):
         CTCDecoding(_IdTok(), "beam_batch", lexicon_words=["1 2"])
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_beam_parity_tiny_vocab_wide_beam(seed):
+    """Degenerate regime: beam wider than the finite-candidate pool (V=3,
+    W=8). Early steps keep -inf leftover slots, and merged-away extend slots
+    can be re-selected as duplicate beams — the step-start canonicalization
+    (sort-free merge, ops/beam_search.py) must fold those so scores match
+    the host oracle exactly."""
+    v, w, t = 3, 8, 12                 # 2 real tokens + blank
+    lp = _rand_log_probs(seed, b=3, t=t, v=v)
+    lens = np.asarray([t, t - 4, 3], np.int32)
+    tokens, tok_lens, scores = ctc_beam_search_batched(
+        lp, lens, beam_width=w, blank=v - 1)
+    ref = [ctc_prefix_beam_search(lp[i], int(lens[i]), w) for i in range(3)]
+    for i in range(3):
+        got = tokens[i, 0, :tok_lens[i, 0]].tolist()
+        assert got == ref[i][0].y_sequence, f"row {i}"
+        np.testing.assert_allclose(float(scores[i, 0]), ref[i][0].score,
+                                   rtol=1e-4, atol=1e-4)
+        # the full beam's score list must match too (mass must not split
+        # across duplicate slots)
+        finite = [h.score for h in ref[i] if np.isfinite(h.score)]
+        got_s = [float(s) for s in scores[i] if float(s) > -1e29]
+        np.testing.assert_allclose(sorted(got_s, reverse=True)[:len(finite)],
+                                   sorted(finite, reverse=True)[:len(got_s)],
+                                   rtol=1e-4, atol=1e-4)

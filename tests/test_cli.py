@@ -187,3 +187,42 @@ def test_asr_train_diffm_GS_and_inference_diffm(env, monkeypatch, capsys):
         "--model_ver", "ver2", "--latent_dim", "12", "--flow_steps", "2"])
     asr_inference_diffm.main()
     assert "wer=" in capsys.readouterr().out
+
+
+def test_fallback_tokenizer_sidecar_roundtrip(env, monkeypatch, capsys,
+                                              tmp_path):
+    """Training WITHOUT a teacher .nemo persists its fallback BPE next to
+    the checkpoints; inference prefers that sidecar over re-training a
+    fallback on (different) eval texts — which would silently mis-decode."""
+    root, train_man, val_man, _ = env
+    cfg_yaml = {
+        "preprocessor": {"features": FEAT, "sample_rate": 16000},
+        "encoder": {"feat_in": FEAT, "n_layers": N_LAYERS, "d_model": D_MODEL,
+                    "n_heads": N_HEADS, "conv_kernel_size": KERNEL,
+                    "dropout": 0.0, "dropout_pre_encoder": 0.0,
+                    "dropout_att": 0.0},
+        "decoder": {"feat_in": D_MODEL, "num_classes": VOCAB},
+    }
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_yaml))
+
+    import asr_train
+    monkeypatch.setattr(sys, "argv", [
+        "asr_train.py", "--train_manifest", train_man,
+        "--val_manifest", val_man, "--config", str(cfg_path),
+        "--output_dir", str(tmp_path / "out"), "--epochs", "1",
+        "--batch_size", "3", "--gpus", "1"])
+    asr_train.main()
+    capsys.readouterr()
+    ckpt_dir = tmp_path / "out" / "run" / "checkpoints"
+    assert (ckpt_dir / "tokenizer.model").is_file()
+
+    import asr_inference
+    monkeypatch.setattr(sys, "argv", [
+        "asr_inference.py", "--ckpt_path", str(ckpt_dir / "last"),
+        "--test_manifest", val_man, "--config", str(cfg_path),
+        "--output_dir", str(tmp_path / "out"), "--batch_size", "3"])
+    asr_inference.main()
+    cap = capsys.readouterr()
+    assert "wer=" in cap.out
+    assert "training fallback" not in cap.err     # sidecar was used

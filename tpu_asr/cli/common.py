@@ -151,6 +151,10 @@ def build_inference_parser(description: str, diffm: bool = False):
     add_common_data_args(p)
     add_kd_args(p)
     p.add_argument("--ckpt_path", type=str, required=True)
+    p.add_argument("--config", type=str, default=None,
+                   help="model-config yaml for checkpoints trained WITHOUT a "
+                        "teacher .nemo (offline fallback); must match the "
+                        "training run's --config")
     p.add_argument("--gpus", type=int, default=1)
     p.add_argument("--eval_data", type=str, default="librispeech",
                    choices=["librispeech", "tedlium2", "commonvoice",
@@ -392,6 +396,15 @@ def run_training(args, corpus: str = "librispeech",
     workdir = Path(args.output_dir) / (os.getenv("EXP_NAME") or "run")
     trainer = Trainer(model, cfg, tokenizer, workdir)
 
+    # persist the tokenizer next to the checkpoints: with no --teacher_nemo
+    # the fallback BPE is trained on the TRAINING transcripts, and a later
+    # inference run re-training it on different texts would silently
+    # mis-decode (the reference never hits this — its tokenizer always ships
+    # inside the teacher .nemo; this is the offline-fallback equivalent)
+    if hasattr(tokenizer, "save"):
+        trainer.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        tokenizer.save(trainer.ckpt_dir / "tokenizer.model")
+
     # bootstrap + teacher injection
     from tpu_asr.data.dataset import AudioToBPEDataset, make_dataloader
     dataset = AudioToBPEDataset(manifests["train"], tokenizer,
@@ -437,8 +450,15 @@ def run_inference(args, diffm_version: Optional[int] = None) -> Dict[str, Dict]:
     manifests = prepare_manifests(args, corpus)
     teacher_cfg, teacher_params, teacher_stats, tokenizer = load_teacher(args)
     if tokenizer is None:
-        tokenizer = _fallback_tokenizer(manifests,
-                                        teacher_cfg.decoder.num_classes)
+        # prefer the tokenizer the TRAINING run saved next to its
+        # checkpoints over re-training a fallback on (different) eval texts
+        tok_side = Path(args.ckpt_path).parent / "tokenizer.model"
+        if tok_side.is_file():
+            from tpu_asr.data.tokenizer import SentencePieceBPETokenizer
+            tokenizer = SentencePieceBPETokenizer.from_file(tok_side)
+        else:
+            tokenizer = _fallback_tokenizer(manifests,
+                                            teacher_cfg.decoder.num_classes)
     teacher_cfg = _sync_vocab(teacher_cfg, tokenizer,
                               frozen=teacher_params is not None)
     student_cfg = teacher_cfg if args.is_teacher else make_student_config(teacher_cfg)
