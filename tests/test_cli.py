@@ -226,3 +226,20 @@ def test_fallback_tokenizer_sidecar_roundtrip(env, monkeypatch, capsys,
     cap = capsys.readouterr()
     assert "wer=" in cap.out
     assert "training fallback" not in cap.err     # sidecar was used
+
+
+def test_asr_inference_packed_eval_flag(env, monkeypatch, capsys):
+    """--packed_eval routes through Trainer.evaluate_packed (same metrics
+    contract; packed parity is pinned by tests/test_loop.py)."""
+    root, train_man, val_man, nemo = env
+    ckpt = root / "out" / "run" / "checkpoints" / "last"
+    assert ckpt.exists(), "run the training test first"
+    import asr_inference
+    monkeypatch.setattr(sys, "argv", [
+        "asr_inference.py", "--ckpt_path", str(ckpt),
+        "--test_manifest", val_man, "--teacher_nemo", nemo,
+        "--output_dir", str(root / "out"), "--batch_size", "3",
+        "--use_logit_distillation", "true", "--packed_eval"])
+    asr_inference.main()
+    out = capsys.readouterr().out
+    assert "librispeech/test" in out and "wer=" in out

@@ -216,3 +216,59 @@ def test_trainer_fit_steps_per_dispatch(corpus, tmp_path):
     assert int(state.step) == 4
     rows = [json.loads(l) for l in open(workdir / "metrics.jsonl")]
     assert any("loss/total" in r for r in rows)
+
+
+def test_evaluate_packed_matches_evaluate(corpus, tmp_path):
+    """Packed-segment evaluation (Trainer.evaluate_packed) must reproduce
+    the bucketed evaluate(): same WER (identical greedy ids — exact packed
+    logits, tests/test_packing.py) and the same per-utterance loss up to
+    float accumulation order."""
+    root, manifest, tok = corpus
+    teacher_cfg = _small_cfg(tok.vocab_size)
+    student_cfg = make_student_config(teacher_cfg)
+    distill = DistillationConfig(use_logit_distillation=True, kd_alpha=0.2)
+    model = DistilCTCModel(student_cfg, teacher_cfg, distill)
+    cfg = TrainConfig(
+        model=student_cfg, distillation=distill,
+        optim=OptimConfig(lr=1e-3, sched_name="none", d_model=16),
+        train_ds=DataConfig(batch_size=3, num_buckets=2, max_duration=2.0,
+                            seed=0),
+        test_ds=DataConfig(batch_size=3, num_buckets=2, max_duration=2.0,
+                           shuffle=False),
+        max_epochs=1, dp_size=1)
+    trainer = Trainer(model, cfg, tok, tmp_path / "pk", log_every=10)
+    from tpu_asr.data.dataset import AudioToBPEDataset, make_dataloader
+    ds = AudioToBPEDataset(manifest, tok, 16000, 0.1, 2.0)
+    first = next(iter(make_dataloader(ds, cfg.test_ds, epoch=0)))
+    trainer.init_state(first, rng_seed=3)
+
+    ref = trainer.evaluate(manifest)
+    got = trainer.evaluate_packed(manifest, t_pack=64, utt_chunk=4)
+    assert got["num_utts"] == ref["num_utts"] == len(TEXTS)
+    assert got["wer"] == ref["wer"]
+    np.testing.assert_allclose(got["loss"], ref["loss"], rtol=1e-4)
+
+
+def test_evaluate_packed_rejects_flow_matching(corpus, tmp_path):
+    from tpu_asr.config import FlowMatchingConfig
+    root, manifest, tok = corpus
+    teacher_cfg = _small_cfg(tok.vocab_size)
+    student_cfg = make_student_config(teacher_cfg)
+    flow = FlowMatchingConfig(meta_encoder_type="mlp", student_dim=16,
+                              teacher_dim=32, student_head_num=2,
+                              training_sampling=2, inference_sampling=2)
+    distill = DistillationConfig(use_flow_matching=True, flow=flow)
+    model = DistilCTCModel(student_cfg, teacher_cfg, distill)
+    cfg = TrainConfig(
+        model=student_cfg, distillation=distill,
+        optim=OptimConfig(lr=1e-3, sched_name="none", d_model=16),
+        test_ds=DataConfig(batch_size=3, num_buckets=1, max_duration=2.0,
+                           shuffle=False),
+        max_epochs=1, dp_size=1)
+    trainer = Trainer(model, cfg, tok, tmp_path / "pkfm", log_every=10)
+    from tpu_asr.data.dataset import AudioToBPEDataset, make_dataloader
+    ds = AudioToBPEDataset(manifest, tok, 16000, 0.1, 2.0)
+    first = next(iter(make_dataloader(ds, cfg.test_ds, epoch=0)))
+    trainer.init_state(first, rng_seed=3)
+    with pytest.raises(ValueError, match="plain CTC decode path"):
+        trainer.evaluate_packed(manifest)

@@ -14,6 +14,7 @@ driving the jitted KD step over a data mesh.
 from __future__ import annotations
 
 import json
+import math
 import time
 from pathlib import Path
 from typing import Dict, Iterator, Optional
@@ -359,3 +360,132 @@ class Trainer:
             loss = loss_sum / max(n, 1)
         return {"wer": (scores / words if words else float("inf")),
                 "loss": loss, "num_utts": float(n)}
+
+    def evaluate_packed(self, manifest: str, split_name: str = "val",
+                        t_pack: int = 512, row_multiple: int = 4,
+                        utt_chunk: int = 512,
+                        log_predictions: int = 0) -> Dict[str, float]:
+        """Packed-segment evaluation: same metrics as `evaluate`, with the
+        encoder — ~80% of eval FLOPs — running on dense packed rows
+        (data/packing.py; 1.2-1.3x on realistic duration mixes) instead of
+        bucket-padded batches. Per-utterance log-probs are EXACT
+        (segment-block attention; tests/test_packing.py), so loss and WER
+        match `evaluate` up to float accumulation order.
+
+        Requires the plain student-CTC decode path: flow-matching replaces
+        the decoder input with the FM trajectory (reference
+        asr_train.py:664-666) — FM configs must use `evaluate`. Single-host
+        only (each process would need its own packing plan; the bucketed
+        `evaluate` handles pods)."""
+        import jax.numpy as jnp
+
+        from tpu_asr.data.packing import (guard_frames, pack_frames,
+                                          plan_packing)
+        from tpu_asr.models.ctc_model import CTCModel
+        from tpu_asr.ops.ctc import ctc_greedy_decode, ctc_loss
+        from tpu_asr.ops.features import FilterbankFeatures
+
+        if self.model.distill.use_flow_matching:
+            raise ValueError(
+                "evaluate_packed requires the plain CTC decode path; "
+                "use_flow_matching feeds the decoder from the FM output — "
+                "use evaluate()")
+        if jax.process_count() > 1:
+            raise ValueError("evaluate_packed is single-host; use evaluate()")
+        cfg = self.cfg
+        assert self.state is not None
+        scfg = self.model.student_cfg
+        student = CTCModel(scfg)
+        variables = {"params": self.state.params["student"]}
+        bstats = self.state.batch_stats or {}
+        if "student" in bstats:
+            variables["batch_stats"] = bstats["student"]
+        feat = FilterbankFeatures(scfg.preprocessor)
+        guard = guard_frames(scfg.encoder.conv_kernel_size)
+        dp = self._dp_size()
+        rm = row_multiple * dp // math.gcd(row_multiple, dp)
+
+        @jax.jit
+        def pre(sig, ln):
+            f, fl = feat(sig, ln, train=False, rng=None)
+            return student.apply(variables, f, fl,
+                                 method=CTCModel.pre_encode)
+
+        packed_fwd = jax.jit(lambda p, s: student.apply(
+            variables, p, s, method=CTCModel.forward_packed)[0])
+
+        @jax.jit
+        def per_utt(packed_lp, rows, starts, enc_len, tokens, token_len):
+            pos = starts[:, None] + jnp.arange(t_pack)[None, :]
+            lp_u = packed_lp[rows[:, None], jnp.minimum(pos, t_pack - 1)]
+            lp_u = lp_u.astype(jnp.float32)
+            nll = ctc_loss(lp_u, tokens, enc_len, token_len,
+                           reduction="none")
+            toks, ntoks = ctc_greedy_decode(lp_u, enc_len)
+            return nll, toks, ntoks
+
+        # phase 1: bucketed featurize + pre-encode, collect per utterance
+        dataset = AudioToBPEDataset(
+            manifest, self.tokenizer, cfg.test_ds.sample_rate,
+            cfg.test_ds.min_duration, cfg.test_ds.max_duration)
+        feats, enc_lens, toks_l, tlens_l, texts_all = [], [], [], [], []
+        for batch in make_dataloader(dataset, cfg.test_ds, epoch=0):
+            n_real = len(batch["texts"])
+            x, ln = pre(jnp.asarray(batch["signal"]),
+                        jnp.asarray(batch["signal_len"]))
+            x = np.asarray(x)
+            for i in range(n_real):
+                feats.append(x[i])
+                toks_l.append(batch["tokens"][i])
+                tlens_l.append(int(batch["token_len"][i]))
+            enc_lens.extend(np.asarray(ln)[:n_real].tolist())
+            texts_all.extend(batch["texts"])
+
+        wer = WERMetric()
+        nll_contrib, tok_sum, n_total, logged = 0.0, 0.0, 0, 0
+        reduction = self.model.student_cfg.ctc_reduction
+        # phase 2: pack + forward + per-utterance loss/decode, in chunks
+        for c0 in range(0, len(feats), utt_chunk):
+            sl = slice(c0, c0 + utt_chunk)
+            fch, ech = feats[sl], np.asarray(enc_lens[sl], np.int64)
+            texts = texts_all[sl]
+            t_src = max(f.shape[0] for f in fch)
+            big = np.stack([np.pad(f, ((0, t_src - f.shape[0]), (0, 0)))
+                            for f in fch])
+            plan = plan_packing(ech, t_pack=t_pack, guard=guard,
+                                row_multiple=rm)
+            packed = pack_frames(jnp.asarray(big), plan)
+            lp = packed_fwd(packed, jnp.asarray(plan.seg_id))
+            t_cap = max(tlens_l[sl] or [1])
+            tk = np.zeros((len(fch), max(t_cap, 1)), np.int32)
+            tl = np.zeros((len(fch),), np.int32)
+            for i, t in enumerate(toks_l[sl]):
+                m = min(len(t), tk.shape[1])
+                tk[i, :m] = np.asarray(t)[:m]
+                tl[i] = tlens_l[sl.start + i]
+            nll, toks, ntoks = per_utt(
+                lp, jnp.asarray(plan.row), jnp.asarray(plan.start),
+                jnp.asarray(ech.astype(np.int32)), jnp.asarray(tk),
+                jnp.asarray(tl))
+            per_nll = np.asarray(nll, np.float64)
+            tlf = tl.astype(np.float64)
+            if reduction == "mean":          # torch 'mean': NLL/target_len
+                nll_contrib += float((per_nll / np.maximum(tlf, 1.0)).sum())
+            else:
+                nll_contrib += float(per_nll.sum())
+            tok_sum += float(tlf.sum())
+            n_total += len(fch)
+            toks = np.asarray(toks)
+            ntoks = np.asarray(ntoks)
+            hyps = [self.tokenizer.ids_to_text(toks[i, :ntoks[i]].tolist())
+                    for i in range(len(fch))]
+            wer.update(hyps, texts)
+            while logged < log_predictions and logged < len(texts):
+                print(f"  ref: {texts[logged]}\n  hyp: {hyps[logged]}")
+                logged += 1
+        if reduction == "mean_volume":
+            loss = nll_contrib / max(tok_sum, 1.0)
+        else:
+            loss = nll_contrib / max(n_total, 1)
+        return {"wer": (wer.scores / wer.words if wer.words else float("inf")),
+                "loss": loss, "num_utts": float(n_total)}
