@@ -405,60 +405,78 @@ class Trainer:
         dp = self._dp_size()
         rm = row_multiple * dp // math.gcd(row_multiple, dp)
 
-        @jax.jit
-        def pre(sig, ln):
-            f, fl = feat(sig, ln, train=False, rng=None)
-            return student.apply(variables, f, fl,
-                                 method=CTCModel.pre_encode)
+        # the jitted pieces are CACHED on the trainer (fresh closures every
+        # call would re-trace and re-lower the whole model per evaluate —
+        # measured as ~45 s of pure tracing overhead per call through the
+        # remote-compile tunnel); params are jit ARGUMENTS so state updates
+        # between evaluations don't invalidate the cache
+        if not hasattr(self, "_packed_eval_fns"):
+            self._packed_eval_fns = {}
+        fns = self._packed_eval_fns.get(t_pack)
+        if fns is None:
+            @jax.jit
+            def pre(vs, sig, ln):
+                f, fl = feat(sig, ln, train=False, rng=None)
+                return student.apply(vs, f, fl, method=CTCModel.pre_encode)
 
-        packed_fwd = jax.jit(lambda p, s: student.apply(
-            variables, p, s, method=CTCModel.forward_packed)[0])
+            packed_fwd = jax.jit(lambda vs, p, s: student.apply(
+                vs, p, s, method=CTCModel.forward_packed)[0])
 
-        @jax.jit
-        def per_utt(packed_lp, rows, starts, enc_len, tokens, token_len):
-            pos = starts[:, None] + jnp.arange(t_pack)[None, :]
-            lp_u = packed_lp[rows[:, None], jnp.minimum(pos, t_pack - 1)]
-            lp_u = lp_u.astype(jnp.float32)
-            nll = ctc_loss(lp_u, tokens, enc_len, token_len,
-                           reduction="none")
-            toks, ntoks = ctc_greedy_decode(lp_u, enc_len)
-            return nll, toks, ntoks
+            @jax.jit
+            def per_utt(packed_lp, rows, starts, enc_len, tokens, token_len):
+                pos = starts[:, None] + jnp.arange(t_pack)[None, :]
+                lp_u = packed_lp[rows[:, None], jnp.minimum(pos, t_pack - 1)]
+                lp_u = lp_u.astype(jnp.float32)
+                nll = ctc_loss(lp_u, tokens, enc_len, token_len,
+                               reduction="none")
+                toks, ntoks = ctc_greedy_decode(lp_u, enc_len)
+                return nll, toks, ntoks
 
-        # phase 1: bucketed featurize + pre-encode, collect per utterance
+            fns = (pre, packed_fwd, per_utt)
+            self._packed_eval_fns[t_pack] = fns
+        pre, packed_fwd, per_utt = fns
+
+        # phase 1: bucketed featurize + pre-encode. Features STAY on device
+        # (only the tiny length vector comes to host for the pack plan) — a
+        # host round-trip of the (B, T', D) features costs more than the
+        # whole pre-encode at these sizes.
         dataset = AudioToBPEDataset(
             manifest, self.tokenizer, cfg.test_ds.sample_rate,
             cfg.test_ds.min_duration, cfg.test_ds.max_duration)
-        feats, enc_lens, toks_l, tlens_l, texts_all = [], [], [], [], []
+        feats_dev, enc_lens, toks_l, tlens_l, texts_all = [], [], [], [], []
         for batch in make_dataloader(dataset, cfg.test_ds, epoch=0):
             n_real = len(batch["texts"])
-            x, ln = pre(jnp.asarray(batch["signal"]),
+            x, ln = pre(variables, jnp.asarray(batch["signal"]),
                         jnp.asarray(batch["signal_len"]))
-            x = np.asarray(x)
+            feats_dev.append(x[:n_real])
             for i in range(n_real):
-                feats.append(x[i])
                 toks_l.append(batch["tokens"][i])
                 tlens_l.append(int(batch["token_len"][i]))
             enc_lens.extend(np.asarray(ln)[:n_real].tolist())
             texts_all.extend(batch["texts"])
+        n_all = len(enc_lens)
+        t_src = max((int(f.shape[1]) for f in feats_dev), default=1)
+        big_all = (jnp.concatenate(
+            [jnp.pad(f, ((0, 0), (0, t_src - f.shape[1]), (0, 0)))
+             for f in feats_dev], axis=0) if feats_dev else None)
+        del feats_dev
 
         wer = WERMetric()
         nll_contrib, tok_sum, n_total, logged = 0.0, 0.0, 0, 0
         reduction = self.model.student_cfg.ctc_reduction
         # phase 2: pack + forward + per-utterance loss/decode, in chunks
-        for c0 in range(0, len(feats), utt_chunk):
-            sl = slice(c0, c0 + utt_chunk)
-            fch, ech = feats[sl], np.asarray(enc_lens[sl], np.int64)
+        for c0 in range(0, n_all, utt_chunk):
+            sl = slice(c0, min(c0 + utt_chunk, n_all))
+            n_ch = sl.stop - sl.start
+            ech = np.asarray(enc_lens[sl], np.int64)
             texts = texts_all[sl]
-            t_src = max(f.shape[0] for f in fch)
-            big = np.stack([np.pad(f, ((0, t_src - f.shape[0]), (0, 0)))
-                            for f in fch])
             plan = plan_packing(ech, t_pack=t_pack, guard=guard,
                                 row_multiple=rm)
-            packed = pack_frames(jnp.asarray(big), plan)
-            lp = packed_fwd(packed, jnp.asarray(plan.seg_id))
+            packed = pack_frames(big_all[sl], plan)
+            lp = packed_fwd(variables, packed, jnp.asarray(plan.seg_id))
             t_cap = max(tlens_l[sl] or [1])
-            tk = np.zeros((len(fch), max(t_cap, 1)), np.int32)
-            tl = np.zeros((len(fch),), np.int32)
+            tk = np.zeros((n_ch, max(t_cap, 1)), np.int32)
+            tl = np.zeros((n_ch,), np.int32)
             for i, t in enumerate(toks_l[sl]):
                 m = min(len(t), tk.shape[1])
                 tk[i, :m] = np.asarray(t)[:m]
@@ -474,11 +492,11 @@ class Trainer:
             else:
                 nll_contrib += float(per_nll.sum())
             tok_sum += float(tlf.sum())
-            n_total += len(fch)
+            n_total += n_ch
             toks = np.asarray(toks)
             ntoks = np.asarray(ntoks)
             hyps = [self.tokenizer.ids_to_text(toks[i, :ntoks[i]].tolist())
-                    for i in range(len(fch))]
+                    for i in range(n_ch)]
             wer.update(hyps, texts)
             while logged < log_predictions and logged < len(texts):
                 print(f"  ref: {texts[logged]}\n  hyp: {hyps[logged]}")
