@@ -327,6 +327,28 @@ def _bench_full(model, variables, infer, headline_rtfx) -> None:
         "value": round(lat_ms, 2), "unit": "ms",
         "vs_baseline": round(sec_chunk * 1e3 / lat_ms, 2)}))
 
+    # multi-stream serving: B concurrent streams share one step dispatch —
+    # the per-chunk host/dispatch floor (which dominates B=1 through the
+    # tunnel) amortizes 1/B per stream
+    b_m = 8
+    chunk_m = jnp.asarray(
+        rng.normal(size=(b_m, n_mel, sc.chunk_size)).astype(np.float32))
+    clen_m = jnp.full((b_m,), sc.chunk_size, jnp.int32)
+    state_m = streamer.init_state(b_m)
+    lp, el, state_m = streamer.step(state_m, chunk_m, clen_m)   # compile
+    float(jnp.sum(el))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        lp, el, state_m = streamer.step(state_m, chunk_m, clen_m)
+    float(jnp.sum(el))
+    lat_m = (time.perf_counter() - t0) / n_steps * 1e3
+    print(json.dumps({
+        "metric": f"cache-aware streaming, {b_m} concurrent streams: "
+                  "per-chunk step latency (160 ms chunks; per-stream "
+                  "realtime budget is still 160 ms)",
+        "value": round(lat_m, 2), "unit": "ms",
+        "vs_baseline": round(b_m * sec_chunk * 1e3 / lat_m, 2)}))
+
 
 def main() -> None:
     import jax
