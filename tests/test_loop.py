@@ -272,3 +272,36 @@ def test_evaluate_packed_rejects_flow_matching(corpus, tmp_path):
     trainer.init_state(first, rng_seed=3)
     with pytest.raises(ValueError, match="plain CTC decode path"):
         trainer.evaluate_packed(manifest)
+
+
+def test_evaluate_packed_invariant_to_dp_mesh(corpus, tmp_path):
+    """evaluate_packed under a dp=8 mesh (row_multiple lifted to the dp
+    size, state replicated) must equal the dp=1 result — mirrors the
+    bucketed-evaluate dp-padding invariance test."""
+    root, manifest, tok = corpus
+    teacher_cfg = _small_cfg(tok.vocab_size)
+    student_cfg = make_student_config(teacher_cfg)
+    distill = DistillationConfig()
+
+    def run(dp):
+        model = DistilCTCModel(student_cfg, teacher_cfg, distill)
+        cfg = TrainConfig(
+            model=student_cfg, distillation=distill,
+            optim=OptimConfig(lr=1e-3, sched_name="none", d_model=16),
+            test_ds=DataConfig(batch_size=3, num_buckets=1, max_duration=2.0,
+                               shuffle=False),
+            max_epochs=1, dp_size=dp)
+        trainer = Trainer(model, cfg, tok, tmp_path / f"pkdp{dp}",
+                          log_every=10)
+        from tpu_asr.data.dataset import AudioToBPEDataset, make_dataloader
+        ds = AudioToBPEDataset(manifest, tok, 16000, 0.1, 2.0)
+        first = next(iter(make_dataloader(ds, cfg.test_ds, epoch=0,
+                                          pad_batch_to=dp)))
+        trainer.init_state(first, rng_seed=7)
+        return trainer.evaluate_packed(manifest, t_pack=64, utt_chunk=4)
+
+    m1 = run(1)
+    m8 = run(8)
+    assert m1["num_utts"] == m8["num_utts"] == len(TEXTS)
+    assert m1["wer"] == m8["wer"]
+    np.testing.assert_allclose(m1["loss"], m8["loss"], rtol=2e-5)
