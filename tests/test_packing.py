@@ -171,3 +171,34 @@ def test_packed_transcriber_matches_plain(packed_model):
     packed = PackedTranscriber(model, variables, tok, t_pack=64,
                                pre_batch=3, row_multiple=2)
     assert packed.transcribe(waves) == plain.transcribe(waves)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_plan_packing_invariants_random_sweep(seed):
+    """Property sweep over random length mixes, guards, t_pack, and
+    row_multiple: placement exactness, no overlap, guard gaps — the same
+    invariants as above across a wider parameter space (pure numpy, fast)."""
+    rng = np.random.default_rng(100 + seed)
+    t_pack = int(rng.choice([64, 128, 256, 512]))
+    guard = int(rng.integers(0, 12))
+    rm = int(rng.choice([1, 2, 4, 8]))
+    n = int(rng.integers(1, 60))
+    lengths = rng.integers(1, t_pack + 1, size=n)
+    plan = plan_packing(lengths, t_pack=t_pack, guard=guard, row_multiple=rm)
+    assert plan.n_rows % rm == 0
+    for i, ln in enumerate(lengths):
+        r, s = plan.row[i], plan.start[i]
+        assert 0 <= r < plan.n_rows and s + ln <= t_pack
+        np.testing.assert_array_equal(plan.src_utt[r, s:s + ln], i)
+        np.testing.assert_array_equal(plan.src_pos[r, s:s + ln],
+                                      np.arange(ln))
+    assert int((plan.seg_id > 0).sum()) == int(lengths.sum())
+    for r in range(plan.n_rows):
+        segs = plan.seg_id[r]
+        prev_end = None
+        for v in np.unique(segs[segs > 0]):
+            idx = np.flatnonzero(segs == v)
+            assert (np.diff(idx) == 1).all()       # contiguous segment
+            if prev_end is not None:
+                assert idx[0] - prev_end >= guard
+            prev_end = idx[-1] + 1
