@@ -436,14 +436,65 @@ class Trainer:
             self._packed_eval_fns[t_pack] = fns
         pre, packed_fwd, per_utt = fns
 
-        # phase 1: bucketed featurize + pre-encode. Features STAY on device
-        # (only the tiny length vector comes to host for the pack plan) — a
-        # host round-trip of the (B, T', D) features costs more than the
-        # whole pre-encode at these sizes.
+        # streamed: featurize + pre-encode bucketed batches (features STAY
+        # on device — a host round-trip of the (B, T', D) features costs
+        # more than the pre-encode itself), and FLUSH a pack+forward+score
+        # pass every ~utt_chunk utterances so device memory is bounded by
+        # the chunk, not the split.
         dataset = AudioToBPEDataset(
             manifest, self.tokenizer, cfg.test_ds.sample_rate,
             cfg.test_ds.min_duration, cfg.test_ds.max_duration)
-        feats_dev, enc_lens, toks_l, tlens_l, texts_all = [], [], [], [], []
+        wer = WERMetric()
+        agg = {"nll": 0.0, "tok": 0.0, "n": 0, "logged": 0}
+        reduction = self.model.student_cfg.ctc_reduction
+        feats_dev, enc_lens, toks_l, tlens_l, texts_p = [], [], [], [], []
+
+        def flush():
+            n_ch = len(enc_lens)
+            if n_ch == 0:
+                return
+            ech = np.asarray(enc_lens, np.int64)
+            t_src = max(int(f.shape[1]) for f in feats_dev)
+            big = jnp.concatenate(
+                [jnp.pad(f, ((0, 0), (0, t_src - f.shape[1]), (0, 0)))
+                 for f in feats_dev], axis=0)
+            plan = plan_packing(ech, t_pack=t_pack, guard=guard,
+                                row_multiple=rm)
+            packed = pack_frames(big, plan)
+            lp = packed_fwd(variables, packed, jnp.asarray(plan.seg_id))
+            t_cap = max(tlens_l)
+            tk = np.zeros((n_ch, max(t_cap, 1)), np.int32)
+            tl = np.zeros((n_ch,), np.int32)
+            for i, t in enumerate(toks_l):
+                m = min(len(t), tk.shape[1])
+                tk[i, :m] = np.asarray(t)[:m]
+                tl[i] = tlens_l[i]
+            nll, toks, ntoks = per_utt(
+                lp, jnp.asarray(plan.row), jnp.asarray(plan.start),
+                jnp.asarray(ech.astype(np.int32)), jnp.asarray(tk),
+                jnp.asarray(tl))
+            per_nll = np.asarray(nll, np.float64)
+            tlf = tl.astype(np.float64)
+            if reduction == "mean":          # torch 'mean': NLL/target_len
+                agg["nll"] += float((per_nll / np.maximum(tlf, 1.0)).sum())
+            else:
+                agg["nll"] += float(per_nll.sum())
+            agg["tok"] += float(tlf.sum())
+            agg["n"] += n_ch
+            toks_np = np.asarray(toks)
+            ntoks_np = np.asarray(ntoks)
+            hyps = [self.tokenizer.ids_to_text(
+                        toks_np[i, :ntoks_np[i]].tolist())
+                    for i in range(n_ch)]
+            wer.update(hyps, texts_p)
+            while (agg["logged"] < log_predictions
+                   and agg["logged"] < len(texts_p)):
+                print(f"  ref: {texts_p[agg['logged']]}\n"
+                      f"  hyp: {hyps[agg['logged']]}")
+                agg["logged"] += 1
+            feats_dev.clear(); enc_lens.clear(); toks_l.clear()
+            tlens_l.clear(); texts_p.clear()
+
         for batch in make_dataloader(dataset, cfg.test_ds, epoch=0):
             n_real = len(batch["texts"])
             x, ln = pre(variables, jnp.asarray(batch["signal"]),
@@ -453,54 +504,11 @@ class Trainer:
                 toks_l.append(batch["tokens"][i])
                 tlens_l.append(int(batch["token_len"][i]))
             enc_lens.extend(np.asarray(ln)[:n_real].tolist())
-            texts_all.extend(batch["texts"])
-        n_all = len(enc_lens)
-        t_src = max((int(f.shape[1]) for f in feats_dev), default=1)
-        big_all = (jnp.concatenate(
-            [jnp.pad(f, ((0, 0), (0, t_src - f.shape[1]), (0, 0)))
-             for f in feats_dev], axis=0) if feats_dev else None)
-        del feats_dev
-
-        wer = WERMetric()
-        nll_contrib, tok_sum, n_total, logged = 0.0, 0.0, 0, 0
-        reduction = self.model.student_cfg.ctc_reduction
-        # phase 2: pack + forward + per-utterance loss/decode, in chunks
-        for c0 in range(0, n_all, utt_chunk):
-            sl = slice(c0, min(c0 + utt_chunk, n_all))
-            n_ch = sl.stop - sl.start
-            ech = np.asarray(enc_lens[sl], np.int64)
-            texts = texts_all[sl]
-            plan = plan_packing(ech, t_pack=t_pack, guard=guard,
-                                row_multiple=rm)
-            packed = pack_frames(big_all[sl], plan)
-            lp = packed_fwd(variables, packed, jnp.asarray(plan.seg_id))
-            t_cap = max(tlens_l[sl] or [1])
-            tk = np.zeros((n_ch, max(t_cap, 1)), np.int32)
-            tl = np.zeros((n_ch,), np.int32)
-            for i, t in enumerate(toks_l[sl]):
-                m = min(len(t), tk.shape[1])
-                tk[i, :m] = np.asarray(t)[:m]
-                tl[i] = tlens_l[sl.start + i]
-            nll, toks, ntoks = per_utt(
-                lp, jnp.asarray(plan.row), jnp.asarray(plan.start),
-                jnp.asarray(ech.astype(np.int32)), jnp.asarray(tk),
-                jnp.asarray(tl))
-            per_nll = np.asarray(nll, np.float64)
-            tlf = tl.astype(np.float64)
-            if reduction == "mean":          # torch 'mean': NLL/target_len
-                nll_contrib += float((per_nll / np.maximum(tlf, 1.0)).sum())
-            else:
-                nll_contrib += float(per_nll.sum())
-            tok_sum += float(tlf.sum())
-            n_total += n_ch
-            toks = np.asarray(toks)
-            ntoks = np.asarray(ntoks)
-            hyps = [self.tokenizer.ids_to_text(toks[i, :ntoks[i]].tolist())
-                    for i in range(n_ch)]
-            wer.update(hyps, texts)
-            while logged < log_predictions and logged < len(texts):
-                print(f"  ref: {texts[logged]}\n  hyp: {hyps[logged]}")
-                logged += 1
+            texts_p.extend(batch["texts"])
+            if len(enc_lens) >= utt_chunk:
+                flush()
+        flush()
+        nll_contrib, tok_sum, n_total = agg["nll"], agg["tok"], agg["n"]
         if reduction == "mean_volume":
             loss = nll_contrib / max(tok_sum, 1.0)
         else:
