@@ -225,6 +225,10 @@ class FlowMatchingConfig:
     teacher_head_num: int = 4
     shape_transform: str = "linear"    # identity | linear | conv1d
     loss: str = "mse"                  # mse | cosine
+    # Euler-loop backend: 'xla' = masked nn.scan, 'pallas' = fused
+    # VMEM-resident multi-step kernel (ops/pallas_fm.py, mlp meta encoder
+    # only), 'auto' = pallas when eligible on TPU
+    euler_backend: str = "auto"
     noise_schedule: str = "rectified"  # rectified | vp_ode | ve_ode
     # per-layer fixed step counts (len == n_layers) or None
     sampling_steps_per_layer: Optional[Tuple[int, ...]] = None

@@ -74,6 +74,12 @@ def _latent_fm_cfg(cfg: DiffmConfig) -> FlowMatchingConfig:
         student_dim=cfg.latent_dim,
         teacher_dim=cfg.latent_dim,
         shape_transform="identity",
+        # LatentKDPipeline is nn.vmap-ed over the layer axis by the distil
+        # model; the fused Euler kernel (ops/pallas_fm.py) is wrapped in
+        # custom_partitioning, which has no batching rule — pin the scan
+        # backend here. (The top-level FM path avoids the vmap instead by
+        # stacking layers into the batch; see distil_model.py.)
+        euler_backend="xla",
     )
 
 

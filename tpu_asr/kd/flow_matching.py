@@ -35,6 +35,70 @@ from tpu_asr.kd.meta_encoders import build_meta_encoder
 from tpu_asr.kd.schedules import get_noise_schedule
 
 
+def resolve_euler_backend(cfg: FlowMatchingConfig) -> str:
+    """'pallas' = fused multi-step VMEM-resident kernel (ops/pallas_fm.py),
+    implemented for the `mlp` meta encoder (the reference default and the
+    only meta encoder that is a pure per-position map). 'auto' resolves to
+    pallas on TPU when eligible; explicit 'pallas' with another meta encoder
+    is a config error. On CPU an explicit 'pallas' runs the kernel in
+    interpret mode (used by the parity tests and the multichip dryrun)."""
+    backend = cfg.euler_backend
+    if backend == "auto":
+        return ("pallas" if (cfg.meta_encoder_type == "mlp"
+                             and jax.default_backend() == "tpu") else "xla")
+    if backend == "pallas" and cfg.meta_encoder_type != "mlp":
+        raise ValueError(
+            "euler_backend='pallas' implements only the 'mlp' meta encoder "
+            f"(got meta_encoder_type={cfg.meta_encoder_type!r}); use 'xla'")
+    return backend
+
+
+class _DenseParams(nn.Module):
+    """Raw (kernel, bias) under the same param paths/shapes/inits as
+    nn.Dense — the fused-kernel path declares these so checkpoints are
+    backend-interchangeable with the nn.scan path."""
+
+    features: int
+    d_in: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.d_in, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class _MLPMetaParams(nn.Module):
+    """Param mirror of MLPMetaEncoder (fc1/fc2 Dense paths)."""
+
+    in_dim: int
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseParams(self.hidden_dim, self.in_dim, name="fc1")(),
+                _DenseParams(self.out_dim, self.hidden_dim, name="fc2")())
+
+
+class _EulerMLPParams(nn.Module):
+    """Param mirror of the scanned _EulerStep (time_embed + mlp meta
+    encoder) for the fused kernel path: identical param tree to the
+    nn.scan(variable_broadcast='params') layout."""
+
+    cfg: FlowMatchingConfig
+
+    @nn.compact
+    def __call__(self):
+        c = self.cfg
+        te = _DenseParams(c.time_embed_dim, 1, name="time_embed")()
+        mlp = _MLPMetaParams(c.student_dim + c.time_embed_dim, c.hidden_dim,
+                             c.student_dim, name="meta_encoder")()
+        return te, mlp
+
+
 class _EulerStep(nn.Module):
     """One masked Euler iteration; scanned over j = 0..max_steps-1 with params
     broadcast (the meta encoder and time embedding are shared across iterations,
@@ -109,7 +173,14 @@ class FlowMatchingModule(nn.Module):
         max_steps: Optional[int] = None,     # static Euler trip count (>= any steps)
         train: bool = False,
         group_loss: bool = False,
+        loss_layers: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """`loss_layers=L` declares that the batch rows are L stacked encoder
+        layers in B-MAJOR order (row = b * L + l, see
+        DistilCTCModel._flow_matching_all_layers' fused path): the loss then
+        reproduces the per-layer-summed aggregation of the vmap path — for
+        the plain loss, sum_l mean_l == L * mean_all (equal-size layer
+        slabs); for group_loss, groups are (layer, step-count) pairs."""
         c = self.cfg
         b, t_len, c_s = s_f.shape
         if steps is None:
@@ -120,15 +191,28 @@ class FlowMatchingModule(nn.Module):
         steps_b = jnp.broadcast_to(jnp.asarray(steps, jnp.int32), (b,))
         steps_f = steps_b.astype(jnp.float32)[:, None, None]        # (B,1,1)
 
-        scan = nn.scan(
-            _EulerStep,
-            variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True},
-            in_axes=(0, nn.broadcast),
-        )
         x0 = s_f.astype(self.dtype)
-        (x, last_v), _ = scan(c, self.dtype, train, name="euler")(
-            (x0, jnp.zeros_like(x0)), jnp.arange(max_steps, dtype=jnp.int32), steps_b)
+        if resolve_euler_backend(c) == "pallas":
+            # fused VMEM-resident multi-step kernel (mlp meta encoder);
+            # identical param tree to the scan branch below
+            from tpu_asr.ops.pallas_fm import fused_fm_euler
+            (te_k, te_b), ((w1, b1), (w2, b2)) = \
+                _EulerMLPParams(c, name="euler")()
+            w1x, w1t = w1[:c.student_dim], w1[c.student_dim:]
+            x, last_v = fused_fm_euler(
+                x0, steps_b, w1x, te_k[0] @ w1t, te_b @ w1t + b1, w2, b2,
+                max_steps=max_steps, compute_dtype=self.dtype,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            scan = nn.scan(
+                _EulerStep,
+                variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True},
+                in_axes=(0, nn.broadcast),
+            )
+            (x, last_v), _ = scan(c, self.dtype, train, name="euler")(
+                (x0, jnp.zeros_like(x0)),
+                jnp.arange(max_steps, dtype=jnp.int32), steps_b)
 
         loss = jnp.zeros((), jnp.float32)
         if train and t_f is not None:
@@ -139,7 +223,22 @@ class FlowMatchingModule(nn.Module):
                      - last_v.astype(jnp.float32)) / (-dsigma_dt)
             transformed = self._shape_transform(x_hat.astype(self.dtype))
             err = self._metric_loss(transformed, t_f)               # (B,T,C')
-            if group_loss:
+            if group_loss and loss_layers is not None:
+                # rows are B-major stacked layers: the reference's per-layer
+                # group loop (asr_train.py:630-635) summed over layers ==
+                # one segment-mean per (layer, step-count) pair. Group mean
+                # over full group elements == mean of per-row means (equal
+                # row sizes).
+                per_row = jnp.mean(err.reshape(b, -1), axis=1)      # (B*L,)
+                lay = jnp.arange(b, dtype=jnp.int32) % loss_layers
+                seg = lay * (max_steps + 1) + jnp.minimum(steps_b, max_steps)
+                n_seg = loss_layers * (max_steps + 1)
+                sums = jax.ops.segment_sum(per_row, seg, n_seg)
+                counts = jax.ops.segment_sum(jnp.ones((b,), jnp.float32),
+                                             seg, n_seg)
+                means = sums / jnp.maximum(counts, 1.0)
+                loss = jnp.sum(jnp.where(counts > 0, means, 0.0))
+            elif group_loss:
                 # sum over unique step counts of the per-group MSE mean
                 # (reference group loop, asr_train.py:630-635)
                 per_elem = err.reshape(b, -1)
@@ -151,6 +250,8 @@ class FlowMatchingModule(nn.Module):
                     group_sum = jnp.sum(per_elem * in_group[:, None])
                     group_mean = group_sum / jnp.maximum(count * elems_per_sample, 1.0)
                     loss = loss + jnp.where(count > 0, group_mean, 0.0)
+            elif loss_layers is not None:
+                loss = loss_layers * jnp.mean(err)
             else:
                 loss = jnp.mean(err)
         return loss, x

@@ -139,6 +139,26 @@ class DistilCTCModel(nn.Module):
                                          (n_layers, stu_feats.shape[1]))
             group = False
 
+        from tpu_asr.kd.flow_matching import resolve_euler_backend
+        if resolve_euler_backend(f) == "pallas":
+            # Fused-kernel path (ops/pallas_fm.py): the FM weights are shared
+            # across layers, so instead of vmapping the module over L we
+            # stack layers into the batch (B-MAJOR: row = b*L + l, keeping
+            # the dp-sharded B axis major through the reshape) and run the
+            # multi-step Euler kernel ONCE over (B*L, T, Ds). loss_layers=L
+            # reproduces the vmap path's per-layer-summed loss semantics.
+            b_sz = stu_feats.shape[1]
+            stack = lambda z: z.transpose(1, 0, 2, 3).reshape(
+                (b_sz * n_layers,) + z.shape[2:])
+            steps_r = steps_arg.transpose(1, 0).reshape(b_sz * n_layers)
+            flow_loss, fm_flat = self.flow_matching(
+                stack(stu_feats), stack(tch_feats) if train else None,
+                steps=steps_r, max_steps=max_steps, train=train,
+                group_loss=group, loss_layers=n_layers)
+            fm_last = fm_flat.reshape(
+                (b_sz, n_layers) + fm_flat.shape[1:])[:, n_layers - 1]
+            return flow_loss, router_loss, fm_last, metrics
+
         if train:
             fm_vmap = nn.vmap(
                 lambda mod, s, t, st: mod(s, t, steps=st, max_steps=max_steps,
