@@ -257,6 +257,37 @@ def _bench_full(model, variables, infer, headline_rtfx) -> None:
         "vs_baseline": None,
         "mfu": round(util, 4) if util is not None else None,
         "tflops_per_step": round(fl / 1e12, 3) if fl else None}))
+
+    # same checkpoint, int8 serving PTQ (EncoderConfig.quantization='int8':
+    # fused int8 FFN kernel — ops/quant.py). Measured for production dims
+    # only; at d176 the int8 path loses to bf16 (lane-padding tax), so the
+    # small-model lines above stay bf16.
+    import dataclasses as _dc
+    large_q = _CTC(_dc.replace(
+        large_cfg, encoder=_dc.replace(large_cfg.encoder,
+                                       quantization="int8")))
+
+    @jax.jit
+    def infer_large_q_scan(vs, sigs, signal_len):
+        def body(c, s):
+            out = large_q.apply(vs, s, signal_len, train=False)
+            toks, n = _greedy(out.log_probs, out.encoded_len)
+            return c, (jnp.sum(toks), jnp.sum(n))
+        return jax.lax.scan(body, 0, sigs)[1]
+
+    np.asarray(infer_large_q_scan(vars_l, sigs_l, sl)[0])
+    t0 = time.perf_counter()
+    r_q = infer_large_q_scan(vars_l, sigs_l, sl)
+    np.asarray(r_q[0])
+    dt_q = (time.perf_counter() - t0) / ITERS
+    rtfx_q = b_l * SECONDS / dt_q
+    print(json.dumps({
+        "metric": "conformer-LARGE int8 serving PTQ (same checkpoint; "
+                  "fused int8 FFN kernel, per-token act scales) greedy "
+                  "RTFx @ batch 32, sustained",
+        "value": round(rtfx_q, 2), "unit": "x realtime",
+        "vs_baseline": None,
+        "vs_bf16": round(rtfx_q / rtfx_l, 3)}))
     del vars_l, sigs_l
 
     # ---- batched beam-search decode (model + device beam, W=16) ----

@@ -128,6 +128,16 @@ class EncoderConfig:
     # (ops/pallas_ffn.py); 'auto' currently resolves to 'xla' pending a
     # measured win (the measured-not-assumed contract)
     ffn_backend: str = "auto"
+    # post-training int8 serving: 'none' | 'int8'. 'int8' routes the FFN
+    # sublayers of DETERMINISTIC (eval) passes through the MXU's int8 path
+    # (per-channel weights, dynamic per-token activations, int32
+    # accumulation — ops/quant.py): one fused Pallas kernel per sublayer on
+    # TPU (ops/pallas_ffn.py::fused_ffn_sublayer_int8 — the quant chain
+    # must stay in VMEM or its HBM traffic eats the 2x MXU rate; measured
+    # notes there), the XLA int8_dense path elsewhere. Training, streaming,
+    # attention, and the conv module are unaffected (conv: measured net
+    # loss, see ConformerConvolution).
+    quantization: str = "none"
     # rematerialize each conformer layer in the backward pass
     # (jax.checkpoint). On TPU this model is HBM-bandwidth-bound, so
     # recomputing the layer is FASTER than stashing+reloading activations

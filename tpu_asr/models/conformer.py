@@ -591,6 +591,13 @@ class ConformerConvolution(nn.Module):
                 pad_l=pad_l, norm=norm)
 
         dt = self.dtype
+        # NOTE: quantization='int8' deliberately does NOT touch this module.
+        # Measured on v5e at production dims (d512 x 18L, B=32 x 15 s): the
+        # XLA int8 path for the two pointwise matmuls LOST 0.67 ms/step —
+        # the act-quant/dequant HBM round-trips exceed the MXU int8 gain at
+        # these matmul sizes. int8 serving lives in the fused FFN kernel
+        # (ops/pallas_ffn.py::fused_ffn_sublayer_int8), where the quant
+        # chain stays in VMEM.
         h = x.astype(dt) @ w1.astype(dt) + b1.astype(dt)
         h = nn.glu(h, axis=-1)                                  # (B, T, d)
         h = jnp.where(mask[..., None], h, 0.0)
@@ -633,6 +640,9 @@ class FeedForward(nn.Module):
     d_ff: int
     dropout_rate: float
     dtype: Any = jnp.float32
+    # 'none' | 'int8' — int8 serving PTQ (ops/quant.py), deterministic
+    # passes only; the param tree is identical either way.
+    quantization: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
@@ -644,6 +654,11 @@ class FeedForward(nn.Module):
         if fused_ln is not None:
             w1, b1 = _DenseParams(self.d_ff, self.d_model, name="linear1")()
             w2, b2 = _DenseParams(self.d_model, self.d_ff, name="linear2")()
+            if self.quantization == "int8" and deterministic:
+                from tpu_asr.ops.pallas_ffn import fused_ffn_sublayer_int8
+                return fused_ffn_sublayer_int8(
+                    x.astype(self.dtype), fused_ln[0], fused_ln[1],
+                    w1, b1, w2, b2)
             rate, seed = 0.0, None
             if not deterministic and self.dropout_rate > 0.0:
                 rate = self.dropout_rate
@@ -653,6 +668,12 @@ class FeedForward(nn.Module):
             return fused_ffn_sublayer(x.astype(self.dtype), fused_ln[0],
                                       fused_ln[1], w1, b1, w2, b2,
                                       dropout_rate=rate, dropout_seed=seed)
+        if self.quantization == "int8" and deterministic:
+            from tpu_asr.ops.quant import int8_dense
+            w1, b1 = _DenseParams(self.d_ff, self.d_model, name="linear1")()
+            w2, b2 = _DenseParams(self.d_model, self.d_ff, name="linear2")()
+            h = nn.silu(int8_dense(x, w1, b1, out_dtype=self.dtype))
+            return int8_dense(h, w2, b2, out_dtype=self.dtype)
         h = nn.Dense(self.d_ff, dtype=self.dtype, name="linear1")(x)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
@@ -695,18 +716,27 @@ class ConformerLayer(nn.Module):
         # pure fwd 71 vs 67 us — so 'auto' resolves to the kernel for
         # TRAINING and to the XLA path for eval. Both paths share the same
         # param tree (_ScaleBias mirrors nn.LayerNorm's names).
-        ffn_fused = cache is None and (
+        # int8 serving PTQ: on TPU the whole sublayer runs as the fused
+        # int8 kernel (LN + per-token quant + two int8 MXU dots + SiLU +
+        # residual in one launch — fused_ffn_sublayer_int8); elsewhere the
+        # XLA int8_dense path inside FeedForward carries the same math.
+        int8_eval = c.quantization == "int8" and det
+        int8_fused = (int8_eval and cache is None
+                      and jax.default_backend() == "tpu")
+        ffn_fused = cache is None and (int8_fused or (not int8_eval and (
             c.ffn_backend == "pallas"
             or (c.ffn_backend == "auto" and train
-                and jax.default_backend() == "tpu"))
+                and jax.default_backend() == "tpu"))))
+        ffn = lambda name: FeedForward(c.d_model, c.d_ff, c.dropout,
+                                       self.dtype, quantization=c.quantization,
+                                       name=name)
 
         if ffn_fused:
             s1, sb1 = _ScaleBias(c.d_model, name="norm_feed_forward1")()
-            x = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype,
-                            name="feed_forward1")(x, det, fused_ln=(s1, sb1))
+            x = ffn("feed_forward1")(x, det, fused_ln=(s1, sb1))
         else:
             h = nn.LayerNorm(dtype=self.dtype, name="norm_feed_forward1")(x)
-            h = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype, name="feed_forward1")(h, det)
+            h = ffn("feed_forward1")(h, det)
             x = x + 0.5 * drop(h)
 
         lc, lc_len, lt = cache if cache is not None else (None, None, None)
@@ -735,11 +765,10 @@ class ConformerLayer(nn.Module):
 
         if ffn_fused:
             s2, sb2 = _ScaleBias(c.d_model, name="norm_feed_forward2")()
-            x = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype,
-                            name="feed_forward2")(x, det, fused_ln=(s2, sb2))
+            x = ffn("feed_forward2")(x, det, fused_ln=(s2, sb2))
         else:
             h = nn.LayerNorm(dtype=self.dtype, name="norm_feed_forward2")(x)
-            h = FeedForward(c.d_model, c.d_ff, c.dropout, self.dtype, name="feed_forward2")(h, det)
+            h = ffn("feed_forward2")(h, det)
             x = x + 0.5 * drop(h)
 
         x = nn.LayerNorm(dtype=self.dtype, name="norm_out")(x)

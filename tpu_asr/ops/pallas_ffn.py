@@ -150,6 +150,87 @@ def _ffn_bwd_kernel(seed_ref, x_ref, s_ref, sb_ref, w1_ref, b1_ref, w2_ref,
     dx_ref[:] = (g + dx_ln).astype(dx_ref.dtype)
 
 
+def _ffn_int8_kernel(x_ref, s_ref, sb_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+                     s2_ref, b2_ref, o_ref):
+    """int8 serving forward (ops/quant.py math, fused): LN -> per-token
+    int8 quant -> int8 MXU dot -> dequant+bias -> SiLU -> quant -> int8
+    dot -> dequant+bias -> 0.5 residual — all VMEM-resident, so the
+    per-token scales and the (T, d_ff) intermediate never touch HBM (the
+    XLA lowering of the same math loses the int8 rate to exactly that
+    traffic; measured notes in the ROADMAP)."""
+    _, _, _, y = _ln_fwd(x_ref, s_ref, sb_ref)         # (rb, T, D) fp32
+    sx = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True),
+                     1e-8 * 127.0) * (1.0 / 127.0)
+    yq = jnp.clip(jnp.round(y * (1.0 / sx)), -127, 127).astype(jnp.int8)
+    dn = (((2,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(yq, w1_ref[:], dn,
+                              preferred_element_type=jnp.int32)
+    h = acc.astype(jnp.float32) * sx * s1_ref[:] + b1_ref[:]
+    h = h * jax.nn.sigmoid(h)                          # SiLU
+    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+                     1e-8 * 127.0) * (1.0 / 127.0)
+    hq = jnp.clip(jnp.round(h * (1.0 / sh)), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(hq, w2_ref[:], dn,
+                               preferred_element_type=jnp.int32)
+    o = acc2.astype(jnp.float32) * sh * s2_ref[:] + b2_ref[:]
+    o_ref[:] = (x_ref[:].astype(jnp.float32) + 0.5 * o).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _ffn_int8_partitioned(interpret):
+    from tpu_asr.parallel.kernel_sharding import batch_partitioned
+
+    def fun(x, s, sb, w1q, s1, b1, w2q, s2, b2):
+        b, t, d = x.shape
+        d_ff = w1q.shape[1]
+        tp = (t + 7) // 8 * 8
+        x_p = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+        rb = _pick_rb(b, tp, d_ff, words=2)
+        x_spec, vd, vf, m1, m2, _ = _specs(rb, tp, d, d_ff, b)
+        out = pl.pallas_call(
+            _ffn_int8_kernel,
+            grid=(b // rb,),
+            in_specs=[x_spec, vd, vd, m1, vf, vf, m2, vd, vd],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * tp * d * d_ff,
+                bytes_accessed=4 * b * tp * d,
+                transcendentals=b * tp * d_ff,
+            ),
+            interpret=interpret,
+        )(x_p, s[None, None], sb[None, None], w1q, s1[None, None],
+          b1[None, None], w2q, s2[None, None], b2[None, None])
+        return out[:, :t]
+
+    arg_specs = ((3, 0), (1, None), (1, None), (2, None), (1, None),
+                 (1, None), (2, None), (1, None), (1, None))
+    return batch_partitioned(fun, arg_specs, ((3, 0),), tuple_out=False)
+
+
+def fused_ffn_sublayer_int8(
+    x: jnp.ndarray,              # (B, T, D) sublayer input (pre-LN)
+    ln_scale: jnp.ndarray,       # (D,)
+    ln_bias: jnp.ndarray,        # (D,)
+    w1: jnp.ndarray,             # (D, d_ff) linear1 kernel (float)
+    b1: jnp.ndarray,             # (d_ff,)
+    w2: jnp.ndarray,             # (d_ff, D) linear2 kernel (float)
+    b2: jnp.ndarray,             # (D,)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Serving-PTQ forward of the FFN sublayer: x + 0.5 * FFN_int8(LN(x)).
+    Weight quantization (per-channel symmetric, ops/quant.py) runs in-graph
+    outside the kernel; activations quantize per token IN the kernel.
+    Eval-only (no VJP) — training uses the bf16 kernel above."""
+    from tpu_asr.ops.quant import quantize_weight
+    f32 = jnp.float32
+    w1q, s1 = quantize_weight(w1.astype(f32))
+    w2q, s2 = quantize_weight(w2.astype(f32))
+    return _ffn_int8_partitioned(interpret)(
+        x, ln_scale.astype(f32), ln_bias.astype(f32), w1q, s1[0], b1.astype(f32),
+        w2q, s2[0], b2.astype(f32))
+
+
 def _pick_rb(b: int, t: int, d_ff: int, words: int) -> int:
     """Rows per program under a ~14 MB fp32 working-set budget; `words` is
     the fp32 (T, d_ff)-equivalents held live."""
