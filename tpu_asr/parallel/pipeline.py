@@ -1,0 +1,233 @@
+"""Pipeline parallelism for the conformer layer stack (GPipe-style
+microbatch pipelining over a 'pipe' mesh axis, expressed TPU-natively).
+
+The reference inventories Megatron pipeline parallelism but never exercises
+it for ASR (SURVEY.md §2.4). Here PP exists for the scale rows of the
+reference size table (Large 121 M, XLarge 635 M — conformer_ctc_bpe.yaml:
+7-18) and is built the TPU way — no per-stage processes, no send/recv
+threads:
+
+- The encoder's layers are ALREADY stacked `(L, ...)` (the `nn.scan`
+  encoder). Sharding that leading axis over a `pipe` mesh axis IS the stage
+  assignment: stage s holds layers [s*L/S, (s+1)*L/S).
+- One `jax.shard_map` manual ONLY over 'pipe' (`axis_names={'pipe'}`) runs
+  the classic GPipe schedule as a `lax.scan` over M + S - 1 ticks: every
+  stage applies its local layers to its in-flight microbatch, then a single
+  `ppermute` ring-shifts activations to the next stage. 'data' (and
+  'model') stay in GSPMD auto mode, so batch sharding and the tensor-
+  parallel rules (parallel/sharding.py) compose with the pipeline body
+  unchanged — dp x pp x tp on one mesh.
+- Warmup/drain bubbles are the standard (S-1)/(M+S-1) fraction; stages
+  compute on zero/stale microbatches during them and the results are simply
+  never written. The whole schedule (fwd AND the reverse-pipeline bwd,
+  which jax derives by transposing the scan + ppermute) is one XLA program.
+
+Scope: the regular encode path (no streaming caches, no packed segments).
+Deterministic compute only — dropout must be 0 when train=True and the conv
+module must use layer_norm (BatchNorm batch-stats mutation across stages is
+a host-level concern PP does not need at these model sizes).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_asr.config import EncoderConfig
+
+
+def make_pp_mesh(dp_size: int = 1, pp_size: int = 2, tp_size: int = 1,
+                 devices: Optional[Any] = None) -> Mesh:
+    """('data', 'pipe') or ('data', 'pipe', 'model') mesh."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = dp_size * pp_size * tp_size
+    assert n <= len(devices), f"mesh {dp_size}x{pp_size}x{tp_size} > {len(devices)}"
+    devices = devices[:n]
+    if tp_size == 1:
+        return Mesh(np.asarray(devices).reshape(dp_size, pp_size),
+                    ("data", "pipe"))
+    return Mesh(np.asarray(devices).reshape(dp_size, pp_size, tp_size),
+                ("data", "pipe", "model"))
+
+
+class _LayerStack(nn.Module):
+    """A slice of the encoder's scanned ConformerLayer stack: applies
+    `n_layers` stacked layers (the per-stage compute of the pipeline).
+    Param tree: {'layers': <stacked slice>} — the SAME paths as the full
+    encoder's scan, so stage params are literally the encoder's stacked
+    params sharded over 'pipe' on their leading axis."""
+
+    cfg: EncoderConfig
+    dtype: Any
+    n_layers: int
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x, pos_emb, mask):
+        from tpu_asr.models.conformer import ConformerLayer
+
+        layer = ConformerLayer(self.cfg, self.dtype, name="layers")
+
+        def body(mod, carry, _):
+            y = mod(carry, pos_emb, mask, train=self.train)
+            return y, None
+
+        scanned = nn.scan(
+            body,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True, "layerdrop": True},
+            length=self.n_layers,
+        )
+        y, _ = scanned(layer, x, None)
+        return y
+
+
+def pipeline_layer_stack(apply_stage, stage_variables, x_micro, mask_micro,
+                         mesh: Mesh, pipe_axis: str = "pipe"):
+    """Run `apply_stage` as an S-stage pipeline over `pipe_axis`.
+
+    apply_stage(stage_variables_local, x (mb, T, D), mask (mb, T)) -> y —
+    the per-stage compute; `stage_variables` leaves are stacked (L, ...)
+    and get sharded over `pipe_axis` on axis 0 (L % S must be 0).
+    x_micro (M, mb, T, D) / mask_micro (M, mb, T): M microbatches.
+    Returns (M, mb, T, D) outputs, replicated over `pipe_axis` (psum of the
+    last stage's buffer; a production serving layout would keep it
+    stage-local — this keeps the API mesh-agnostic).
+    """
+    n_stages = mesh.shape[pipe_axis]
+    n_micro = x_micro.shape[0]
+
+    def stage_fn(variables, xm, mm):
+        s = jax.lax.axis_index(pipe_axis)
+        last = n_stages - 1
+
+        def tick(carry, step):
+            x_c, m_c, buf = carry
+            idx = jnp.clip(step, 0, n_micro - 1)
+            inj = jax.lax.dynamic_index_in_dim(xm, idx, 0, keepdims=False)
+            inj_m = jax.lax.dynamic_index_in_dim(mm, idx, 0, keepdims=False)
+            # stage 0 consumes the next microbatch; others, the ring input
+            x_in = jnp.where(s == 0, inj, x_c)
+            m_in = jnp.where(s == 0, inj_m, m_c)
+            y = apply_stage(variables, x_in, m_in)
+            # ring-shift to the next stage (stage `last` sends nowhere;
+            # stage 0 receives zeros, which it overwrites with `inj`)
+            perm = [(i, i + 1) for i in range(n_stages - 1)]
+            x_n = jax.lax.ppermute(y, pipe_axis, perm)
+            m_n = jax.lax.ppermute(m_in.astype(jnp.int8), pipe_axis,
+                                   perm).astype(bool)
+            # the last stage emits microbatch step-(S-1) at this tick
+            out_idx = step - last
+            oi = jnp.clip(out_idx, 0, n_micro - 1)
+            write = (s == last) & (out_idx >= 0)
+            prev = jax.lax.dynamic_index_in_dim(buf, oi, 0, keepdims=False)
+            buf = jax.lax.dynamic_update_index_in_dim(
+                buf, jnp.where(write, y, prev), oi, 0)
+            return (x_n, m_n, buf), None
+
+        buf0 = jnp.zeros_like(xm)
+        carry0 = (jnp.zeros_like(xm[0]), mm[0], buf0)
+        (_, _, buf), _ = jax.lax.scan(
+            tick, carry0, jnp.arange(n_micro + n_stages - 1))
+        # only the last stage wrote into buf; psum broadcasts it everywhere
+        return jax.lax.psum(buf, pipe_axis)
+
+    var_specs = jax.tree.map(lambda _: P(pipe_axis), stage_variables)
+    fn = jax.shard_map(
+        stage_fn, mesh=mesh, axis_names={pipe_axis},
+        in_specs=(var_specs, P(), P()), out_specs=P(), check_vma=False)
+    return fn(stage_variables, x_micro, mask_micro)
+
+
+def _check_cfg(cfg: EncoderConfig, train: bool) -> None:
+    if train and (cfg.dropout > 0 or cfg.dropout_att > 0
+                  or cfg.dropout_pre_encoder > 0
+                  or cfg.stochastic_depth_drop_prob > 0):
+        raise ValueError("pipelined training requires deterministic "
+                         "compute: set the dropout/stochastic-depth rates "
+                         "to 0 (per-stage RNG plumbing is not wired)")
+    if train and cfg.conv_norm_type == "batch_norm":
+        raise ValueError("pipelined training requires "
+                         "conv_norm_type='layer_norm' (BN batch-stats "
+                         "mutation is not pipelined)")
+    if cfg.reduction is not None and cfg.reduction_factor > 1:
+        raise ValueError("mid-stack reduction cannot be pipelined "
+                         "(changes T between stages)")
+    if getattr(cfg, "feat_out", -1) > 0 and cfg.feat_out != cfg.d_model:
+        raise ValueError("feat_out projection not supported in the "
+                         "pipelined encode path")
+
+
+def encode_pipelined(model, variables, features, lengths, mesh: Mesh,
+                     n_micro: int, train: bool = False):
+    """Full ConformerEncoder forward with the layer stack pipelined over the
+    mesh's 'pipe' axis. `model` is a CTCModel (its `pre_encode` split point
+    provides the subsampling front half); pre/post-stack work runs in GSPMD
+    auto mode (batch over 'data'). Returns (encoded (B,T',D), out_len (B,)).
+
+    Parity contract: identical math to `model.encoder(features, lengths)`
+    for deterministic passes (tests/test_pipeline.py pins it on the virtual
+    mesh).
+    """
+    from tpu_asr.models.conformer import rel_positional_encoding
+    from tpu_asr.models.ctc_model import CTCModel
+
+    cfg = model.cfg.encoder
+    _check_cfg(cfg, train)
+    n_stages = mesh.shape["pipe"]
+    if cfg.n_layers % n_stages:
+        raise ValueError(f"n_layers={cfg.n_layers} not divisible by "
+                         f"pipe={n_stages}")
+    dtype = jnp.dtype(model.cfg.compute_dtype)
+
+    x, out_len = model.apply(variables, features, lengths,
+                             method=CTCModel.pre_encode)
+    b, t, d = x.shape
+    if b % n_micro:
+        raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")
+    if cfg.xscaling:
+        x = x * math.sqrt(cfg.d_model)
+    pos_emb = rel_positional_encoding(t, cfg.d_model, dtype)
+    mask = jnp.arange(t)[None, :] < out_len[:, None]
+    x = jnp.where(mask[..., None], x, 0.0)
+
+    mb = b // n_micro
+    x_micro = x.reshape(n_micro, mb, t, d)
+    mask_micro = mask.reshape(n_micro, mb, t)
+
+    stack = _LayerStack(cfg, dtype, cfg.n_layers // n_stages, train=train)
+    enc_vars = variables["params"]["encoder"]
+    stage_vars = {"params": {"layers": enc_vars["layers"]}}
+    if "batch_stats" in variables and "encoder" in variables["batch_stats"]:
+        bs = variables["batch_stats"]["encoder"]
+        if "layers" in bs:
+            stage_vars["batch_stats"] = {"layers": bs["layers"]}
+
+    def apply_stage(vs, xs, ms):
+        return stack.apply(vs, xs, pos_emb, ms)
+
+    y_micro = pipeline_layer_stack(apply_stage, stage_vars, x_micro,
+                                   mask_micro, mesh)
+    return y_micro.reshape(b, t, d), out_len
+
+
+def ctc_forward_pipelined(model, variables, signal, signal_len, mesh: Mesh,
+                          n_micro: int):
+    """Featurize -> pipelined encode -> decode: the CTCModel eval forward
+    with the encoder stack pipelined. Returns (log_probs, encoded_len)."""
+    from tpu_asr.models.ctc_model import CTCModel
+    from tpu_asr.ops.features import FilterbankFeatures
+
+    feat = FilterbankFeatures(model.cfg.preprocessor)
+    feats, feat_len = feat(signal, signal_len, train=False, rng=None)
+    encoded, out_len = encode_pipelined(model, variables, feats, feat_len,
+                                        mesh, n_micro)
+    log_probs = model.apply(variables, encoded,
+                            method=CTCModel.decode_logits)
+    return log_probs, out_len
