@@ -142,3 +142,68 @@ def test_beam_parity_tiny_vocab_wide_beam(seed):
         np.testing.assert_allclose(sorted(got_s, reverse=True)[:len(finite)],
                                    sorted(finite, reverse=True)[:len(got_s)],
                                    rtol=1e-4, atol=1e-4)
+
+
+def _train_tiny_lm(order=3, vocab=V - 1, n_seqs=40, seed=9):
+    from tpu_asr.ops.ngram_lm import NgramLM
+    rng = np.random.default_rng(seed)
+    seqs = [rng.integers(0, vocab, size=rng.integers(3, 12)).tolist()
+            for _ in range(n_seqs)]
+    return NgramLM.train(seqs, order=order)
+
+
+def test_dense_automaton_query_parity():
+    """to_dense_automaton must reproduce lm_score_fn exactly: walking the
+    automaton over any history yields the same backoff-resolved scores."""
+    lm = _train_tiny_lm()
+    scores, nxt, init = lm.to_dense_automaton(V)
+    fn = lm.lm_score_fn()
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        hist = rng.integers(0, V - 1, size=rng.integers(0, 9)).tolist()
+        s = init
+        for tok in hist:
+            s = int(nxt[s, tok])
+        tok = int(rng.integers(0, V - 1))
+        np.testing.assert_allclose(float(scores[s, tok]),
+                                   fn(tuple(hist), tok), rtol=1e-6, atol=1e-6)
+
+
+def test_beam_parity_ngram_lm():
+    """Device beam with the compiled ARPA/backoff automaton == host beam
+    with the NgramLM callback (full-fusion parity, not just bigram)."""
+    lm = _train_tiny_lm()
+    tables = lm.to_dense_automaton(V)
+    lp = _rand_log_probs(17)
+    lens = np.asarray([T, T - 4, 7, T], np.int32)
+    tokens, tok_lens, scores = ctc_beam_search_batched(
+        lp, lens, beam_width=W, ngram_tables=tables, lm_weight=0.6)
+    ref = _oracle(lp, lens, lm_score_fn=lm.lm_score_fn(), lm_weight=0.6)
+    for i in range(B):
+        assert tokens[i, 0, :tok_lens[i, 0]].tolist() == ref[i][0].y_sequence
+        np.testing.assert_allclose(float(scores[i, 0]), ref[i][0].score,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ctcdecoding_beam_batch_ngram_lm_roundtrip(tmp_path):
+    """CTCDecoding(strategy='beam_batch', ngram_lm=<ARPA path>) compiles the
+    LM to the automaton lazily and matches strategy='beam' with the same LM."""
+    lm = _train_tiny_lm()
+    arpa = tmp_path / "lm.arpa"
+    lm.save_arpa(str(arpa))
+
+    class _Tok:
+        vocab_size = V - 1
+
+        def ids_to_text(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    lp = _rand_log_probs(23)
+    lens = np.full((B,), T, np.int32)
+    dev = CTCDecoding(_Tok(), strategy="beam_batch", beam_width=W,
+                      ngram_lm=str(arpa), lm_weight=0.5)
+    host = CTCDecoding(_Tok(), strategy="beam", beam_width=W,
+                       ngram_lm=str(arpa), lm_weight=0.5)
+    got = dev.ctc_decoder_predictions_tensor(lp, lens)
+    ref = host.ctc_decoder_predictions_tensor(lp, lens)
+    assert got == ref

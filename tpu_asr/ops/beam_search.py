@@ -30,9 +30,14 @@ Algorithm (Hannun et al. 2014 prefix search, vectorized):
 Shallow-fusion hooks (device-resident, optional):
 - `word_bonus`: constant added per token extension (mirrors the oracle).
 - `bigram_lm` (V, V): log P(c | prev) table added on extensions, row
-  `blank` = BOS scores. Full ARPA/backoff LMs and lexicon tries stay on the
-  host path (ops/decoding.py) — they are pointer-chasing structures; the
-  dense-table form is the TPU-native equivalent for production fusion.
+  `blank` = BOS scores.
+- `ngram_tables` (scores (S, V), next_state (S, V), init_state): a full
+  ARPA/backoff n-gram LM compiled to a dense finite-state automaton
+  (ngram_lm.NgramLM.to_dense_automaton) — each beam carries an i32 LM state,
+  extensions pay one gather. This is the TPU-native equivalent of the
+  host KenLM callback (pointer-chasing replaced by table lookups); the
+  host path (ops/decoding.py) remains the semantics oracle and the home of
+  the lexicon-trie constraint.
 """
 
 from __future__ import annotations
@@ -67,6 +72,7 @@ def ctc_beam_search_batched(
     bigram_lm: Optional[jnp.ndarray] = None,   # (V, V) log P(col | row)
     lm_weight: float = 1.0,
     max_tokens: Optional[int] = None,
+    ngram_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (tokens (B, W, Lcap) i32, token_lens (B, W) i32,
     scores (B, W) f32), beams sorted best-first per row.
@@ -82,8 +88,14 @@ def ctc_beam_search_batched(
     lengths = lengths.astype(jnp.int32)
 
     tok_ids = jnp.arange(v, dtype=jnp.int32)          # candidate token per slot
+    if bigram_lm is not None and ngram_tables is not None:
+        raise ValueError("pass bigram_lm or ngram_tables, not both")
     if bigram_lm is not None:
         lm_tab = lm_weight * bigram_lm.astype(jnp.float32)
+    if ngram_tables is not None:
+        lm_scores = lm_weight * jnp.asarray(ngram_tables[0], jnp.float32)
+        lm_next = jnp.asarray(ngram_tables[1], jnp.int32)       # (S, V)
+        lm_init = jnp.int32(ngram_tables[2])
 
     init = dict(
         buf=jnp.zeros((b, w, l_cap), jnp.int32),
@@ -94,6 +106,10 @@ def ctc_beam_search_batched(
         h1=jnp.zeros((b, w), jnp.uint32).at[:, 0].set(1),
         h2=jnp.zeros((b, w), jnp.uint32).at[:, 0].set(1),
     )
+    if ngram_tables is not None:
+        # per-beam LM automaton state; the LM score of a prefix depends only
+        # on its token sequence, so hash merges stay exact under fusion
+        init["lm_s"] = jnp.full((b, w), lm_init, jnp.int32)
 
     lower = jnp.tril(jnp.ones((w, w), bool), -1)      # [q, r]: r < q
 
@@ -133,6 +149,8 @@ def ctc_beam_search_batched(
         if bigram_lm is not None:
             prev = jnp.where(has_last, last, blank)   # BOS row = blank
             cand_pnb = cand_pnb + lm_tab[prev]        # (B, W, V)
+        if ngram_tables is not None:
+            cand_pnb = cand_pnb + lm_scores[state["lm_s"]]   # (B, W, V)
         cand_pb = jnp.full((b, w, v), NEG_INF, jnp.float32)
 
         # the blank slot is the STAY candidate
@@ -196,6 +214,11 @@ def ctc_beam_search_batched(
             length=sel(new_len, length), last=sel(new_last, last),
             pb=sel(new_pb, pb), pnb=sel(new_pnb, pnb),
             h1=sel(new_h1, h1), h2=sel(new_h2, h2))
+        if ngram_tables is not None:
+            parent_lm = jnp.take_along_axis(state["lm_s"], sel_parent, axis=1)
+            new_lm = jnp.where(is_stay, parent_lm,
+                               lm_next[parent_lm, sel_tok])
+            new_state["lm_s"] = sel(new_lm, state["lm_s"])
         return new_state, None
 
     frames = jnp.moveaxis(lp_all, 1, 0)               # (T, B, V)

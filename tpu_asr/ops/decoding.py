@@ -178,19 +178,30 @@ class CTCDecoding:
         lexicon_words: iterable of allowed words; beams are constrained to
         their token-trie (the flashlight lexicon strategy).
         strategy 'beam_batch' runs the whole batch's prefix search on device
-        (ops/beam_search.py); it supports word_bonus and a dense (V, V)
-        `bigram_lm` log-prob table (row `blank` = BOS) but not the host-side
-        lexicon/ARPA hooks."""
+        (ops/beam_search.py); it supports word_bonus, a dense (V, V)
+        `bigram_lm` log-prob table (row `blank` = BOS), and full ARPA/backoff
+        `ngram_lm` fusion (compiled once to a dense automaton,
+        NgramLM.to_dense_automaton). Host-callback hooks (`lm_score_fn`) and
+        the lexicon-trie constraint stay on strategy='beam'."""
         if strategy not in ("greedy", "greedy_batch", "beam", "beam_batch"):
             raise ValueError(f"unknown decoding strategy: {strategy}")
         if strategy == "beam_batch" and (lm_score_fn is not None
-                                         or ngram_lm is not None
                                          or lexicon_words is not None):
             raise ValueError(
-                "beam_batch is the on-device search: host lexicon/ARPA-LM "
-                "hooks are not supported — use strategy='beam', or pass a "
-                "dense bigram_lm table")
+                "beam_batch is the on-device search: host lm_score_fn/"
+                "lexicon hooks are not supported — use strategy='beam', or "
+                "pass ngram_lm/bigram_lm (device-compiled) instead")
         self.bigram_lm = bigram_lm
+        self.ngram_tables = None     # compiled lazily: needs the logits vocab
+        self._device_ngram = None
+        if strategy == "beam_batch" and ngram_lm is not None:
+            from tpu_asr.ops.ngram_lm import NgramLM
+            if isinstance(ngram_lm, str):
+                ngram_lm = NgramLM.load_arpa(ngram_lm)
+            self._device_ngram = ngram_lm
+            if lm_weight == 0.0:
+                lm_weight = 1.0
+            ngram_lm = None          # consumed: skip the host-path adapter
         if bigram_lm is not None and lm_weight == 0.0:
             lm_weight = 1.0          # same default-on as the ngram_lm path
         self.tokenizer = tokenizer
@@ -243,10 +254,17 @@ class CTCDecoding:
                     for i in range(tokens.shape[0])]
         elif self.strategy == "beam_batch":
             from tpu_asr.ops.beam_search import ctc_beam_search_batched
+            if self._device_ngram is not None and self.ngram_tables is None:
+                # compile once against the LOGITS vocab (num_classes + blank;
+                # the blank column is overwritten by the stay candidate)
+                v_logits = int(decoder_outputs.shape[-1])
+                self.ngram_tables = self._device_ngram.to_dense_automaton(
+                    v_logits)
             tokens, lens, scores = ctc_beam_search_batched(
                 decoder_outputs, decoder_lengths,
                 beam_width=self.beam_width, word_bonus=self.word_bonus,
-                bigram_lm=self.bigram_lm, lm_weight=self.lm_weight)
+                bigram_lm=self.bigram_lm, lm_weight=self.lm_weight,
+                ngram_tables=self.ngram_tables)
             tokens = np.asarray(tokens)
             lens = np.asarray(lens)
             scores = np.asarray(scores)

@@ -174,6 +174,48 @@ class NgramLM:
 
         return fn
 
+    # ------------------------------------------------------- device compile
+    def to_dense_automaton(self, vocab_size: int):
+        """Compile the backoff LM into a dense finite-state automaton for
+        on-device beam fusion (ops/beam_search.py `ngram_tables`): the
+        TPU-native form of the KenLM pointer-chasing query — one gather per
+        beam extension instead of a host callback per candidate.
+
+        Returns (scores (S, V) f32, next_state (S, V) i32, init_state int):
+        `scores[s, v]` = backoff-resolved natural-log p(v | context s),
+        `next_state[s, v]` = automaton state after emitting v in state s,
+        `init_state` = the <s> (BOS) context state.
+
+        EXACT equivalence with `lm_score_fn` (tests/test_ngram_lm.py):
+        states are the stored contexts (every context that has stored
+        continuations or a backoff weight); reducing a history to its
+        longest stored-context suffix cannot change any future query, since
+        absent contexts contribute backoff 0.0 and have no stored n-grams.
+        """
+        # state set: all contexts with stored continuations or backoffs
+        ctxs = {()}
+        for k in range(1, self.order):
+            ctxs.update(self.backoffs[k].keys())
+            ctxs.update(key[:-1] for key in self.probs[k + 1].keys())
+
+        def reduce(ctx):
+            ctx = tuple(ctx)[-(self.order - 1):] if self.order > 1 else ()
+            while ctx not in ctxs:
+                ctx = ctx[1:]
+            return ctx
+
+        states = sorted(ctxs, key=lambda c: (len(c), c))
+        sid = {c: i for i, c in enumerate(states)}
+        import numpy as np
+        scores = np.empty((len(states), vocab_size), np.float32)
+        nxt = np.empty((len(states), vocab_size), np.int32)
+        for c, i in sid.items():
+            for v in range(vocab_size):
+                scores[i, v] = self.log_prob(c, v)
+                nxt[i, v] = sid[reduce(c + (v,))]
+        init_state = sid[reduce((BOS,) * max(self.order - 1, 1))]
+        return scores, nxt, init_state
+
     # ----------------------------------------------------------------- ARPA
     def save_arpa(self, path: str, id_to_str=None) -> None:
         """Write the standard ARPA format (log10 probs, KenLM-compatible)."""
