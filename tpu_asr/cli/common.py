@@ -406,8 +406,11 @@ def run_training(args, corpus: str = "librispeech",
     # mis-decode (the reference never hits this — its tokenizer always ships
     # inside the teacher .nemo; this is the offline-fallback equivalent)
     if hasattr(tokenizer, "save"):
-        trainer.ckpt_dir.mkdir(parents=True, exist_ok=True)
-        tokenizer.save(trainer.ckpt_dir / "tokenizer.model")
+        from tpu_asr.parallel.mesh import is_main_process, sync_processes
+        if is_main_process():
+            trainer.ckpt_dir.mkdir(parents=True, exist_ok=True)
+            tokenizer.save(trainer.ckpt_dir / "tokenizer.model")
+        sync_processes("tokenizer_sidecar")
 
     # bootstrap + teacher injection
     from tpu_asr.data.dataset import AudioToBPEDataset, make_dataloader

@@ -59,5 +59,64 @@ def cross_process_sum(values: Sequence[float]) -> np.ndarray:
     vals = np.asarray(values, np.float64)
     if jax.process_count() == 1:
         return vals
-    from jax.experimental import multihost_utils  # pragma: no cover
+    from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(vals)).sum(axis=0)
+
+
+def local_rows(garr) -> np.ndarray:
+    """Materialize THIS process's rows of a batch-sharded global array.
+
+    In a multi-process run, per-sample eval outputs (NLLs, decoded tokens)
+    are sharded over the `data` axis across processes — `np.asarray` on the
+    global array raises (non-addressable shards), and each process should
+    only score its own manifest stripe anyway. Rows come back in global
+    order, so they align with the process-local loader's `texts`.
+    No-op (full array) in single-controller runs."""
+    if jax.process_count() == 1:
+        return np.asarray(garr)
+    # dedup by global row start: under tp the same rows sit on several local
+    # devices; keep one copy per distinct row range
+    by_start = {}
+    for s in garr.addressable_shards:
+        by_start.setdefault(s.index[0].start or 0, s.data)
+    out = np.concatenate(
+        [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0)
+    per = garr.shape[0] // jax.process_count()
+    if out.shape[0] == per:
+        return out
+    if out.shape[0] == garr.shape[0]:
+        # XLA chose to replicate this output: every process holds all rows —
+        # slice this process's block (the loader placed process p's local
+        # batch at global rows [p*per, (p+1)*per))
+        p = jax.process_index()
+        return out[p * per:(p + 1) * per]
+    raise ValueError(
+        f"unexpected addressable row coverage {out.shape[0]} for global "
+        f"batch {garr.shape[0]} over {jax.process_count()} processes")
+
+
+def is_main_process() -> bool:
+    """True on the process that owns filesystem side effects (metrics files,
+    checkpoint rotation, tokenizer sidecars) — Lightning's `rank_zero_only`
+    equivalent for the reference's DDP logging/checkpointing."""
+    return jax.process_index() == 0
+
+
+def sync_processes(tag: str) -> None:
+    """Cross-process barrier (no-op single-controller). Used around
+    filesystem mutations that only process 0 performs, so other processes
+    never observe a half-renamed checkpoint dir or a missing sidecar."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
+def broadcast_int(value: int) -> int:
+    """Broadcast a host int from process 0 to all (no-op single-controller).
+    Used to agree on the experiment-dir version suffix — per-process
+    directory probing would race and split the run across workdirs."""
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+    return int(np.asarray(
+        multihost_utils.broadcast_one_to_all(np.int64(value))))

@@ -27,7 +27,8 @@ from tpu_asr.data.dataset import (AudioToBPEDataset, make_dataloader,
                                   prefetch_to_device, stack_batches)
 from tpu_asr.data.tokenizer import SentencePieceBPETokenizer
 from tpu_asr.models.distil_model import DistilCTCModel
-from tpu_asr.parallel.mesh import cross_process_sum, make_mesh, replicated
+from tpu_asr.parallel.mesh import (cross_process_sum, local_rows, make_mesh,
+                                   replicated)
 from tpu_asr.train.optim import build_optimizer
 from tpu_asr.train.trainer import (DistilTrainState, make_distil_eval_step,
                                    make_distil_multi_step,
@@ -41,9 +42,16 @@ class MetricsLogger:
     """Console + JSONL metrics; W&B passthrough when available."""
 
     def __init__(self, workdir: Path, project: str = "", name: str = ""):
+        # rank-zero-only side effects (Lightning WandbLogger semantics):
+        # every process computes metrics, only process 0 writes them
+        from tpu_asr.parallel.mesh import is_main_process
+        self._main = is_main_process()
         self.path = Path(workdir) / "metrics.jsonl"
-        self.path.parent.mkdir(parents=True, exist_ok=True)
+        if self._main:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
         self._wandb = None
+        if not self._main:
+            return
         try:  # pragma: no cover - wandb absent in this image
             import wandb
             self._wandb = wandb.init(project=project or None,
@@ -52,6 +60,8 @@ class MetricsLogger:
             self._wandb = None
 
     def log(self, metrics: Dict, step: int) -> None:
+        if not self._main:
+            return
         row = {"step": int(step)}
         for k, v in metrics.items():
             try:
@@ -296,8 +306,8 @@ class Trainer:
     def _batch_wer(self, batch, texts) -> float:
         """Greedy WER on the current train batch (periodic train-WER)."""
         _, (tokens, n_tokens) = self._eval_step(self.state, batch)
-        tokens = np.asarray(tokens)
-        n_tokens = np.asarray(n_tokens)
+        tokens = local_rows(tokens)
+        n_tokens = local_rows(n_tokens)
         wer = WERMetric()
         hyps = [self.tokenizer.ids_to_text(tokens[i, :n_tokens[i]].tolist())
                 for i in range(tokens.shape[0])]
@@ -331,24 +341,29 @@ class Trainer:
             metrics, (tokens, n_tokens) = self._eval_step(self.state, batch)
             # aggregate loss over REAL utterances only — trailing rows are
             # cyclic-repeat padding for dp divisibility; the batch-mean in
-            # loss/ctc would mis-weight them (VERDICT r2 weak #2)
-            per_nll = np.asarray(metrics["per_sample_ctc"])[:len(texts)]
-            tl = np.asarray(batch["token_len"])[:len(texts)].astype(np.float64)
+            # loss/ctc would mis-weight them (VERDICT r2 weak #2).
+            # local_rows: in multi-process runs each process scores only ITS
+            # manifest stripe's rows of the globally-sharded outputs
+            per_nll = local_rows(metrics["per_sample_ctc"])[:len(texts)]
+            tl = local_rows(batch["token_len"])[:len(texts)].astype(np.float64)
             if reduction == "mean":          # torch 'mean': NLL/target_len
                 nll_contrib += float((per_nll / np.maximum(tl, 1.0)).sum())
             else:                            # mean_batch/mean_volume/sum/none
                 nll_contrib += float(per_nll.sum())
             tok_sum += float(tl.sum())
             n += len(texts)
-            tokens = np.asarray(tokens)
-            n_tokens = np.asarray(n_tokens)
+            tokens = local_rows(tokens)
+            n_tokens = local_rows(n_tokens)
             # decode only the real rows; trailing rows are cyclic-repeat
             # padding for dp divisibility and would double-count WER
             hyps = [self.tokenizer.ids_to_text(tokens[i, :n_tokens[i]].tolist())
                     for i in range(len(texts))]
             wer.update(hyps, texts)
             while logged < log_predictions and logged < len(texts):
-                print(f"  ref: {texts[logged]}\n  hyp: {hyps[logged]}")
+                # rank-zero-only like the reference's WER sample logging
+                # (wer.py:335-338 under Lightning DDP)
+                if jax.process_index() == 0:
+                    print(f"  ref: {texts[logged]}\n  hyp: {hyps[logged]}")
                 logged += 1
         # distributed eval: sum (scores, words, loss, tokens, n) across
         # processes — torchmetrics dist_reduce_fx='sum' (wer.py:289-290)

@@ -31,25 +31,37 @@ def _as_path(p) -> Path:
 
 
 def rotate_last(ckpt_dir) -> None:
-    """last -> last-vN rotation on restart (asr_train.py:1695-1705)."""
+    """last -> last-vN rotation on restart (asr_train.py:1695-1705).
+
+    Multi-process: only process 0 renames (one rename on the shared
+    filesystem), with barriers so no process probes `last` mid-rotation."""
+    from tpu_asr.parallel.mesh import is_main_process, sync_processes
+
     ckpt_dir = _as_path(ckpt_dir)
-    last = ckpt_dir / "last"
-    if not last.exists():
-        return
-    n = 1
-    while (ckpt_dir / f"last-v{n}").exists():
-        n += 1
-    last.rename(ckpt_dir / f"last-v{n}")
+    if is_main_process():
+        last = ckpt_dir / "last"
+        if last.exists():
+            n = 1
+            while (ckpt_dir / f"last-v{n}").exists():
+                n += 1
+            last.rename(ckpt_dir / f"last-v{n}")
+    sync_processes("rotate_last")
 
 
 def save_train_state(ckpt_dir, state, name: str = "last",
                      overwrite: bool = True) -> Path:
     """Save {step, params, batch_stats, opt_state} with orbax."""
+    from tpu_asr.parallel.mesh import is_main_process, sync_processes
+
     ckpt_dir = _as_path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     target = ckpt_dir / name
     if target.exists() and overwrite:
-        shutil.rmtree(target)
+        # one rmtree on the shared filesystem; every process then calls
+        # orbax save (the multi-process save protocol requires all of them)
+        if is_main_process():
+            shutil.rmtree(target)
+        sync_processes("ckpt_rmtree")
     ckptr = ocp.StandardCheckpointer()
     payload = {"step": state.step, "params": state.params,
                "batch_stats": state.batch_stats, "opt_state": state.opt_state}
@@ -72,18 +84,24 @@ def restore_train_state(ckpt_dir, state, name: str = "last"):
 
 def export_student(ckpt_dir, state, student_cfg, name: str = "student") -> Path:
     """Inference export: student params/batch_stats + config only."""
+    from tpu_asr.parallel.mesh import is_main_process, sync_processes
+
     ckpt_dir = _as_path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     target = ckpt_dir / name
     if target.exists():
-        shutil.rmtree(target)
+        if is_main_process():
+            shutil.rmtree(target)
+        sync_processes("export_rmtree")
     ckptr = ocp.StandardCheckpointer()
     stats = state.batch_stats.get("student", {}) if state.batch_stats else {}
     ckptr.save(target, {"params": state.params["student"],
                         "batch_stats": stats})
     ckptr.wait_until_finished()
-    (ckpt_dir / f"{name}_config.json").write_text(
-        json.dumps(student_cfg.to_dict(), indent=2))
+    if is_main_process():
+        (ckpt_dir / f"{name}_config.json").write_text(
+            json.dumps(student_cfg.to_dict(), indent=2))
+    sync_processes("export_config")
     return target
 
 

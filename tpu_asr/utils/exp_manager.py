@@ -25,19 +25,31 @@ def setup_experiment(output_dir, config=None, project: Optional[str] = None,
                      name: Optional[str] = None, version_rerun: bool = True
                      ) -> Path:
     """Create outputs/<project>/<name>[ -vN ] and snapshot the config."""
+    from tpu_asr.parallel.mesh import broadcast_int, is_main_process
+
     project = project or os.getenv("PRJ_NAME") or "default"
     name = name or os.getenv("EXP_NAME") or "run"
     workdir = Path(output_dir) / project / name
-    if version_rerun and workdir.exists() and any(workdir.iterdir()):
+    # version suffix is decided ONCE on process 0 and broadcast: per-process
+    # directory probing would race (proc 0 mkdirs, proc 1 then sees a
+    # non-empty dir and picks -v1, splitting the run across two workdirs)
+    n = 0
+    if is_main_process() and version_rerun and workdir.exists() \
+            and any(workdir.iterdir()):
         n = 1
         while (Path(output_dir) / project / f"{name}-v{n}").exists():
             n += 1
+    n = broadcast_int(n)
+    if n:
         workdir = Path(output_dir) / project / f"{name}-v{n}"
-    workdir.mkdir(parents=True, exist_ok=True)
-    if config is not None:
-        cfg = asdict(config) if is_dataclass(config) else config
-        (workdir / "config.json").write_text(json.dumps(cfg, indent=2,
-                                                        default=str))
+    if is_main_process():
+        workdir.mkdir(parents=True, exist_ok=True)
+        if config is not None:
+            cfg = asdict(config) if is_dataclass(config) else config
+            (workdir / "config.json").write_text(json.dumps(cfg, indent=2,
+                                                            default=str))
+    from tpu_asr.parallel.mesh import sync_processes
+    sync_processes("setup_experiment")
     return workdir
 
 
