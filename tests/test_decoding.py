@@ -117,7 +117,12 @@ def test_greedy_timestamps():
     lp2[0, 1, 1] = 0.0               # ...except token 1 at frame 1
     hyp = dec.ctc_decoder_predictions_tensor(
         jnp.asarray(lp2), np.asarray([4]), return_hypotheses=True)[0]
-    assert hyp.timestamp == [1]
+    # NeMo dict shape (test_timestamps.py:142-153): timestep/char/word/segment
+    assert hyp.timestamp["timestep"] == [1]
+    assert hyp.timestamp["char"][0]["start_offset"] == 1
+    assert hyp.timestamp["char"][0]["end_offset"] == 1
+    words = [w["word"] for w in hyp.timestamp["word"]]
+    assert " ".join(words) == hyp.text
 
 
 def test_lexicon_constrains_beam():

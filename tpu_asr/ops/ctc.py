@@ -191,3 +191,50 @@ def ctc_greedy_decode_with_timestamps(
     tokens = pack(scatter_pos, ids)
     frames = pack(scatter_pos, jnp.broadcast_to(t_idx, (b, t)).astype(jnp.int32))
     return tokens, n_tokens, frames
+
+
+def ctc_greedy_decode_full(
+    log_probs: jnp.ndarray,      # (B, T, V), blank = V-1
+    lengths: jnp.ndarray,        # (B,)
+    blank: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy decode with full per-token extent + raw frame labels — feeds the
+    decoding layer's timestamp-offset dict, alignments, and confidence
+    aggregation (snapshot-stripped ctc_decoding contract; offset semantics
+    pinned by NeMo/tests/collections/asr/decoding/test_timestamps.py).
+
+    Returns (tokens (B,T), n_tokens (B,), starts (B,T), ends (B,T), labels
+    (B,T)): starts[b,j]/ends[b,j] are the FIRST and LAST encoder frame of
+    packed token j's emission run (inclusive; -1 pad), labels[b,t] the raw
+    per-frame argmax before collapse (the `preserve_alignments` payload).
+
+    A "token" is a maximal run of identical non-blank argmax frames — starts
+    mark run heads (ids != prev), ends mark run tails (ids != next, or the
+    last valid frame when the run touches the length boundary), so the k-th
+    start pairs with the k-th end by construction.
+    """
+    b, t, v = log_probs.shape
+    if blank is None:
+        blank = v - 1
+    ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+    prev = jnp.concatenate([jnp.full((b, 1), -1, jnp.int32), ids[:, :-1]], axis=1)
+    nxt = jnp.concatenate([ids[:, 1:], jnp.full((b, 1), -1, jnp.int32)], axis=1)
+    t_idx = jnp.arange(t)[None, :]
+    valid = t_idx < lengths[:, None]
+    keep_s = (ids != blank) & (ids != prev) & valid
+    keep_e = (ids != blank) & ((ids != nxt) | (t_idx == lengths[:, None] - 1)) & valid
+    pos_s = jnp.cumsum(keep_s.astype(jnp.int32), axis=1) - 1
+    pos_e = jnp.cumsum(keep_e.astype(jnp.int32), axis=1) - 1
+    n_tokens = jnp.sum(keep_s.astype(jnp.int32), axis=1)
+
+    def pack(keep, p, val):
+        sp = jnp.where(keep, p, t)
+        return jax.vmap(
+            lambda pp, vv: jnp.full((t,), -1, jnp.int32).at[pp].set(
+                vv, mode="drop"))(sp, val)
+
+    frames = jnp.broadcast_to(t_idx, (b, t)).astype(jnp.int32)
+    tokens = pack(keep_s, pos_s, ids)
+    starts = pack(keep_s, pos_s, frames)
+    ends = pack(keep_e, pos_e, frames)
+    return tokens, n_tokens, starts, ends, ids
