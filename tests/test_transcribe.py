@@ -67,3 +67,36 @@ def test_chunked_matches_full_on_medium_audio(setup):
     long_x = rng.normal(size=11 * 16000).astype(np.float32) * 0.05
     out = chunked.transcribe(long_x)
     assert isinstance(out, str)
+
+
+def test_transcribe_timestamps_in_seconds(setup):
+    """NeMo transcribe(..., timestamps=True): hypotheses whose offset dicts
+    carry 'start'/'end' seconds (offset x hop x subsampling / sr)."""
+    model, variables, tok = setup
+    rng = np.random.default_rng(2)
+    waves = [rng.normal(size=16000).astype(np.float32) * 0.05]
+    tr = Transcriber(model, variables, tok)
+    hyps = tr.transcribe(waves, timestamps=True)
+    h = hyps[0]
+    assert isinstance(h.timestamp, dict)
+    frame_s = (model.cfg.preprocessor.hop_length
+               * model.cfg.encoder.subsampling_factor / 16000)
+    for kind in ("char", "word", "segment"):
+        for off in h.timestamp[kind]:
+            assert off["start"] == pytest.approx(
+                off["start_offset"] * frame_s)
+            assert off["end"] == pytest.approx(
+                (off["end_offset"] + 1) * frame_s)
+            assert off["end"] <= 1.0 + 2 * frame_s   # within the 1 s clip
+
+
+def test_strategy_aliases(setup):
+    from tpu_asr.ops.decoding import CTCDecoding
+    _, _, tok = setup
+    assert CTCDecoding(tok, "pyctcdecode").strategy == "beam"
+    assert CTCDecoding(tok, "flashlight",
+                       lexicon_words=["a", "b"]).strategy == "beam"
+    with pytest.raises(ValueError):
+        CTCDecoding(tok, "flashlight")
+    with pytest.raises(ValueError):
+        CTCDecoding(tok, "wfst")

@@ -47,8 +47,22 @@ class Transcriber:
             return load_audio(item, self.sample_rate)
         return np.asarray(item, np.float32)
 
-    def transcribe(self, audio: Sequence, return_hypotheses: bool = False):
-        """audio: list of file paths and/or float32 waveforms -> texts."""
+    def transcribe(self, audio: Sequence, return_hypotheses: bool = False,
+                   timestamps: bool = False):
+        """audio: list of file paths and/or float32 waveforms -> texts.
+
+        timestamps=True (the NeMo `transcribe(..., timestamps=True)` surface,
+        ctc_models.py:120-193): returns Hypothesis objects whose timestamp
+        offset dicts additionally carry 'start'/'end' in SECONDS
+        (offset x hop x subsampling / sample_rate)."""
+        if timestamps:
+            if not self.decoding.compute_timestamps:
+                self.decoding = CTCDecoding(
+                    self.tokenizer, self.decoding.strategy,
+                    beam_width=self.decoding.beam_width,
+                    compute_timestamps=True,
+                    confidence_cfg=self.decoding.confidence_cfg)
+            return_hypotheses = True
         signals = [self._load(a) for a in audio]
         order = np.argsort([len(s) for s in signals])
         quantum = int(self.bucket_seconds * self.sample_rate)
@@ -69,6 +83,16 @@ class Transcriber:
                 return_hypotheses=return_hypotheses)
             for j, i in enumerate(idxs):
                 results[i] = decoded[j]
+        if timestamps:
+            frame_s = (self.model.cfg.preprocessor.hop_length
+                       * self.model.cfg.encoder.subsampling_factor
+                       / self.sample_rate)
+            for h in results:
+                if isinstance(h.timestamp, dict):
+                    for kind in ("char", "word", "segment"):
+                        for off in h.timestamp[kind]:
+                            off["start"] = off["start_offset"] * frame_s
+                            off["end"] = (off["end_offset"] + 1) * frame_s
         return results
 
 

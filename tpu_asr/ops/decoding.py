@@ -198,6 +198,18 @@ class CTCDecoding:
         `ngram_lm` fusion (compiled once to a dense automaton,
         NgramLM.to_dense_automaton). Host-callback hooks (`lm_score_fn`) and
         the lexicon-trie constraint stay on strategy='beam'."""
+        # NeMo strategy-name aliases (ctc_bpe_models cfg surface): both
+        # external-decoder strategies map onto the host prefix search, which
+        # covers their contract (LM fusion hook / lexicon trie) without the
+        # external deps; 'wfst' is not supported.
+        if strategy == "pyctcdecode":
+            strategy = "beam"
+        elif strategy == "flashlight":
+            if lexicon_words is None:
+                raise ValueError(
+                    "strategy='flashlight' is the lexicon-constrained "
+                    "search: pass lexicon_words")
+            strategy = "beam"
         if strategy not in ("greedy", "greedy_batch", "beam", "beam_batch"):
             raise ValueError(f"unknown decoding strategy: {strategy}")
         if strategy == "beam_batch" and (lm_score_fn is not None
@@ -392,14 +404,16 @@ class CTCDecoding:
                     units, self.word_seperator,
                     set(self.segment_seperators), subword=not char_mode)
                 if self.compute_timestamps:
+                    def _piece(tid):
+                        return vocab[tid] if 0 <= tid < len(vocab) else ""
                     if char_mode:
                         char_offsets = [
-                            {"char": vocab[tid], "start_offset": s,
+                            {"char": _piece(tid), "start_offset": s,
                              "end_offset": e}
                             for tid, s, e in zip(ids, st, en)]
                     else:
                         char_offsets = [
-                            {"char": [vocab[tid]], "start_offset": s,
+                            {"char": [_piece(tid)], "start_offset": s,
                              "end_offset": e}
                             for tid, s, e in zip(ids, st, en)]
                     h.timestamp = {
@@ -423,7 +437,7 @@ class CTCDecoding:
         word-start piece plus its continuation pieces."""
         vocab = self.tokenizer.vocab
         if self._is_char_mode():
-            return [(vocab[t], s, e, [j])
+            return [(vocab[t] if 0 <= t < len(vocab) else "", s, e, [j])
                     for j, (t, s, e) in enumerate(zip(ids, starts, ends))]
         return self._subword_units(ids, starts, ends)
 
@@ -432,9 +446,13 @@ class CTCDecoding:
         cur_ids: List[int] = []
         cur_idx: List[int] = []
         cur_s = cur_e = 0
+        vocab = self.tokenizer.vocab
         for j, (t, s, e) in enumerate(zip(ids, starts, ends)):
-            piece = self.tokenizer.vocab[t]
-            if cur_ids and self._piece_starts_word(piece):
+            # ids past the tokenizer vocab (decoder num_classes > vocab_size,
+            # possible in synthetic configs) start a unit; ids_to_text skips
+            # them like decode_tokens_to_str does
+            piece = vocab[t] if 0 <= t < len(vocab) else ""
+            if cur_ids and (not piece or self._piece_starts_word(piece)):
                 units.append((self.tokenizer.ids_to_text(cur_ids),
                               cur_s, cur_e, cur_idx))
                 cur_ids, cur_idx = [], []
