@@ -24,7 +24,15 @@ STEPS = 5
 
 
 def main() -> None:
+    import sys
+
     import jax
+
+    # --only <substr>: run only configs whose name contains <substr>
+    # (compiles through the remote tunnel are minutes each — targeted runs)
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
 
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp_cache")
@@ -67,6 +75,8 @@ def main() -> None:
     key = jax.random.key(0, impl="rbg")   # training-default PRNG (TrainConfig)
 
     for name, distill in configs.items():
+        if only is not None and only not in name:
+            continue
         model = DistilCTCModel(student_cfg, teacher_cfg, distill)
         variables = model.init(
             {"params": key, "specaug": key, "dropout": key, "gumbel": key,
@@ -177,6 +187,50 @@ def main() -> None:
                 "mfu": (round(mfu(fl64, dt64), 4)
                         if mfu(fl64, dt64) is not None else None),
                 "tflops_per_step": round(fl64 / 1e12, 3) if fl64 else None}))
+
+    if only is not None and only not in "ctc conformer-LARGE":
+        return
+    # ---- production-dims training: conformer-LARGE (121 M) CTC step ----
+    # The reference size table's production row (conformer_ctc_bpe.yaml:7-18:
+    # d 512, 18 layers, 8 heads). Shows the TRAINING path's MFU without the
+    # small model's d88/d176 lane-padding tax (same framing as bench.py's
+    # LARGE inference line). Pure-CTC config -> the frozen-teacher forward is
+    # gated off (models/distil_model.py needs_teacher); remat keeps
+    # activations O(1) per layer.
+    from tpu_asr.config import (DecoderConfig as _Dec, EncoderConfig as _Enc,
+                                ModelConfig as _MC)
+    from tpu_asr.utils.flops import compiled_flops, mfu
+
+    large_cfg = _MC(
+        spec_augment=None,
+        encoder=_Enc(n_layers=18, d_model=512, n_heads=8),
+        decoder=_Dec(feat_in=512, num_classes=128))
+    model_l = DistilCTCModel(large_cfg, teacher_cfg, DistillationConfig())
+    vars_l = model_l.init(
+        {"params": key, "specaug": key, "dropout": key, "gumbel": key,
+         "noise": key, "layerdrop": key},
+        batch["signal"], batch["signal_len"], batch["tokens"],
+        batch["token_len"], train=True)
+    tx_l = build_optimizer(OptimConfig(), vars_l["params"])
+    state_l = DistilTrainState.create(
+        apply_fn=model_l.apply, params=vars_l["params"],
+        batch_stats=vars_l.get("batch_stats", {}), tx=tx_l)
+    step_l = jax.jit(make_distil_train_step(model_l))
+    state_l, m_l = step_l(state_l, batch, key)
+    float(m_l["loss/total"])
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state_l, m_l = step_l(state_l, batch, jax.random.fold_in(key, i))
+    float(m_l["loss/total"])
+    dt_l = (time.perf_counter() - t0) / STEPS
+    fl_l = compiled_flops(step_l, state_l, batch, key)
+    print(json.dumps({
+        "config": "ctc conformer-LARGE (121M, d512x18L) @ batch 32",
+        "ms_per_step": round(dt_l * 1e3, 1),
+        "audio_sec_per_sec": round(B * SEC / dt_l, 1),
+        "mfu": (round(mfu(fl_l, dt_l), 4)
+                if mfu(fl_l, dt_l) is not None else None),
+        "tflops_per_step": round(fl_l / 1e12, 3) if fl_l else None}))
 
 
 if __name__ == "__main__":

@@ -429,3 +429,40 @@ def test_block_attention_packed_segments_match_solo():
     # segment 2 and diverge from its solo forward
     plain = np.asarray(run(packed, mask))
     assert not np.allclose(plain[0, :len1], solo1[0], rtol=1e-2, atol=3e-3)
+
+
+def test_block_bwd_mosaic_lowering_large_dims():
+    """Regression: d512/h8/dk64 training (conformer-LARGE) picks hpp < h in
+    the bwd kernel's VMEM budget; the bias-grad partials must then still
+    satisfy Mosaic's last-two-dims block rule (they are emitted (hpp, 1, dk)
+    — a (hpp, dk) block is illegal for hpp=2). Cross-platform AOT lowering
+    runs the full Pallas->Mosaic pass without a TPU."""
+    import jax
+
+    from tpu_asr.ops.pallas_attention import fused_relpos_attention_block
+
+    b, t, d, h = 2, 512, 512, 8   # t=512 -> bwd VMEM budget picks hpp=2
+    dk = d // h
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (b, t, d), jnp.float32)
+    wq = jax.random.normal(ks[1], (d, d), jnp.float32) * 0.02
+    wk = jax.random.normal(ks[2], (d, d), jnp.float32) * 0.02
+    wv = jax.random.normal(ks[3], (d, d), jnp.float32) * 0.02
+    wo = jax.random.normal(ks[4], (d, d), jnp.float32) * 0.02
+    bu = jax.random.normal(ks[5], (h, dk), jnp.float32) * 0.02
+    bv_ = jax.random.normal(ks[6], (h, dk), jnp.float32) * 0.02
+    pos = jax.random.normal(ks[7], (d, h, dk), jnp.float32) * 0.02
+    zb = jnp.zeros((d,), jnp.float32)
+    mask = jnp.ones((b, t), bool)
+
+    def loss(x, wq, wk, wv, wo, bu, bv_, pos):
+        out = fused_relpos_attention_block(
+            x, wq, zb, wk, zb, wv, zb, bu, bv_, pos, wo, mask, h)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 5)))
+    # the Mosaic pass (layout inference, block-shape checks) runs in the
+    # cross-platform lowering; only backend codegen escapes it
+    g.trace(x, wq, wk, wv, wo, bu, bv_, pos).lower(
+        lowering_platforms=("tpu",))

@@ -183,3 +183,33 @@ def test_encoder_ffn_pallas_training_grads(monkeypatch):
     # FFN weights actually receive gradient
     gl = g1["layers"]["feed_forward1"]["linear1"]["kernel"]
     assert float(jnp.max(jnp.abs(gl))) > 0
+
+
+def test_ffn_vmem_gate_large_dims():
+    """Regression (conformer-LARGE training cliff): at d512/d_ff2048 the
+    flash-bwd's per-row weight-grad partials exceed scoped VMEM — the fits
+    predicate must reject it (auto falls back to XLA) while the small model
+    stays on the kernel; explicit kernel use raises an actionable error."""
+    import pytest
+
+    from tpu_asr.ops.pallas_ffn import (_pick_rb, ffn_train_kernel_fits,
+                                        fused_ffn_sublayer)
+
+    assert ffn_train_kernel_fits(32, 376, 176, 704)       # flagship student
+    assert not ffn_train_kernel_fits(32, 376, 512, 2048)  # conformer-LARGE
+    # small-dims row chunking unchanged by the recalibrated budget
+    assert _pick_rb(32, 384, 176, 704, words=4, bwd=True) == 2
+    # fwd at LARGE still fits (the int8 serving line measured on-chip)
+    assert _pick_rb(32, 376, 512, 2048, words=2) == 1
+
+    x = jnp.zeros((32, 376, 512), jnp.float32)
+    v = jnp.zeros((512,), jnp.float32)
+    w1 = jnp.zeros((512, 2048), jnp.float32)
+    b1 = jnp.zeros((2048,), jnp.float32)
+    w2 = jnp.zeros((2048, 512), jnp.float32)
+    with pytest.raises(ValueError, match="scoped VMEM"):
+        jax.eval_shape(
+            lambda *a: jax.vjp(
+                lambda x: fused_ffn_sublayer(x, v, v, w1, b1, w2, v,
+                                             dropout_rate=0.0), a[0])[1](a[0]),
+            x)

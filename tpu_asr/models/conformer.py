@@ -723,9 +723,19 @@ class ConformerLayer(nn.Module):
         int8_eval = c.quantization == "int8" and det
         int8_fused = (int8_eval and cache is None
                       and jax.default_backend() == "tpu")
+        # 'auto' additionally gates on the kernels fitting scoped VMEM: at
+        # production dims (d512/d_ff2048) the flash-bwd's weight-grad
+        # partials exceed the budget and training falls back to XLA
+        # (explicit 'pallas' raises the kernel's actionable error instead)
+        if c.ffn_backend == "auto" and train:
+            from tpu_asr.ops.pallas_ffn import ffn_train_kernel_fits
+            auto_fits = ffn_train_kernel_fits(
+                x.shape[0], x.shape[1], c.d_model, c.d_ff)
+        else:
+            auto_fits = False
         ffn_fused = cache is None and (int8_fused or (not int8_eval and (
             c.ffn_backend == "pallas"
-            or (c.ffn_backend == "auto" and train
+            or (c.ffn_backend == "auto" and train and auto_fits
                 and jax.default_backend() == "tpu"))))
         ffn = lambda name: FeedForward(c.d_model, c.d_ff, c.dropout,
                                        self.dtype, quantization=c.quantization,

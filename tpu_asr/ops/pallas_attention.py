@@ -828,11 +828,14 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
     dwv_ref[0] = jax.lax.dot_general(dvs16, x16, wgd,
                                      preferred_element_type=jnp.float32)
     # bias grad partials (summed over T; padded rows contribute 0 through
-    # the zero-padded g)
-    dcu_ref[0] = jnp.sum(dqu, axis=1)
-    dcv_ref[0] = jnp.sum(dqv, axis=1)
-    dbk_ref[0] = jnp.sum(dk_s, axis=1)
-    dbv_ref[0] = jnp.sum(dvs, axis=1)
+    # the zero-padded g). Emitted as (hpp, 1, dk): the unit axis keeps hpp
+    # out of the block's last-two dims, which Mosaic requires to be
+    # 8/128-multiples or full — (hpp, dk) would be illegal when the VMEM
+    # budget picks hpp < h (e.g. d512/h8/dk64 training).
+    dcu_ref[0] = jnp.sum(dqu, axis=1, keepdims=True)
+    dcv_ref[0] = jnp.sum(dqv, axis=1, keepdims=True)
+    dbk_ref[0] = jnp.sum(dk_s, axis=1, keepdims=True)
+    dbv_ref[0] = jnp.sum(dvs, axis=1, keepdims=True)
 
 
 def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk):
@@ -964,12 +967,13 @@ def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
     dxd = jax.ShapeDtypeStruct((b, tp, d), x.dtype)
     dwd = jax.ShapeDtypeStruct((b, h, dk, d), jnp.float32)
     dpd = jax.ShapeDtypeStruct((b, h, dk, half), jnp.float32)
-    dcd = jax.ShapeDtypeStruct((b, h, dk), jnp.float32)
+    # (b, h, 1, dk): see the bias-grad note in _block_bwd_kernel
+    dcd = jax.ShapeDtypeStruct((b, h, 1, dk), jnp.float32)
     dw_spec = pl.BlockSpec((1, hpp, dk, d), lambda i, j: (i, j, 0, 0),
                            memory_space=pltpu.VMEM)
     dp_spec = pl.BlockSpec((1, hpp, dk, half), lambda i, j: (i, j, 0, 0),
                            memory_space=pltpu.VMEM)
-    dc_spec = pl.BlockSpec((1, hpp, dk), lambda i, j: (i, j, 0),
+    dc_spec = pl.BlockSpec((1, hpp, 1, dk), lambda i, j: (i, j, 0, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -1011,7 +1015,7 @@ _BLK_ARGS = (_BLK_X, _BLK_W, _BLK_W, _BLK_W, _BLK_W, _BLK_W, _BLK_W,
 _BLK_OUT = (("b", None, None),)
 _BLK_BWD_ARGS = _BLK_ARGS + (("b", None, None),)
 _BLK_BWD_OUTS = (("b", None, None),) + (("b", "h", None, None),) * 6 \
-    + (("b", "h", None),) * 4
+    + (("b", "h", None, None),) * 4
 
 
 @functools.lru_cache(maxsize=None)
@@ -1089,7 +1093,8 @@ def _block_core_bwd(att_context_size, dropout_rate, interpret, res, g):
     # per-batch partials -> weight grads (psum over 'b' under GSPMD);
     # kernel emits dW as (h, dk, D) — transpose to the (h, D, dk) operands
     wgrad = lambda p: jnp.transpose(jnp.sum(p, axis=0), (0, 2, 1))
-    cgrad = lambda p: jnp.sum(p, axis=0)[:, :, None]
+    # dc partials are (b, h, 1, dk) -> (h, dk, 1) bias operands
+    cgrad = lambda p: jnp.transpose(jnp.sum(p, axis=0), (0, 2, 1))
     t = x.shape[1]
     dx_sum = dx[:, :t].astype(x.dtype)
     return (dx_sum, wgrad(dwq_b).astype(wq.dtype),

@@ -35,6 +35,7 @@ contract as ops/pallas_features.py and ops/pallas_conv.py.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -185,7 +186,8 @@ def _ffn_int8_partitioned(interpret):
         d_ff = w1q.shape[1]
         tp = (t + 7) // 8 * 8
         x_p = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
-        rb = _pick_rb(b, tp, d_ff, words=2)
+        rb = _require_rb(_pick_rb(b, tp, d, d_ff, words=2),
+                         "fwd", b, tp, d, d_ff)
         x_spec, vd, vf, m1, m2, _ = _specs(rb, tp, d, d_ff, b)
         out = pl.pallas_call(
             _ffn_int8_kernel,
@@ -231,14 +233,52 @@ def fused_ffn_sublayer_int8(
         w2q, s2[0], b2.astype(f32))
 
 
-def _pick_rb(b: int, t: int, d_ff: int, words: int) -> int:
-    """Rows per program under a ~14 MB fp32 working-set budget; `words` is
-    the fp32 (T, d_ff)-equivalents held live."""
+def _vmem_bytes(rb: int, t: int, d: int, d_ff: int, words: int,
+                bwd: bool) -> int:
+    """Scoped-VMEM working-set model, calibrated against Mosaic's own
+    accounting (it reported 30.8 MB for the bwd program at d512/d_ff2048/
+    tp376/rb1; the small-model bwd at d176/d_ff704/tp384/rb2 compiles):
+    `words` live fp32 (T, d_ff) intermediates, double-buffered per-row
+    weight-grad partials (bwd only), and the weight operands."""
+    inter = rb * words * t * d_ff * 4
+    grads = 4 * rb * d * d_ff * 4 if bwd else 0   # pw1+pw2 f32, dbl-buffered
+    weights = 2 * d * d_ff * 4
+    return inter + grads + weights
+
+
+def _pick_rb(b: int, t: int, d: int, d_ff: int, words: int,
+             bwd: bool = False) -> Optional[int]:
+    """Largest rows-per-program fitting the ~15 MB scoped-VMEM budget, or
+    None when even rb=1 exceeds it (the caller must fall back / raise —
+    Mosaic fails at compile otherwise, the conformer-LARGE training cliff)."""
     rb = b
-    while rb > 1 and (rb % 2 == 0) and rb * t * d_ff * 4 * words > 14 * 2 ** 20:
+    while rb > 1 and (rb % 2 == 0) and \
+            _vmem_bytes(rb, t, d, d_ff, words, bwd) > 15 * 2 ** 20:
         rb //= 2
     while b % rb:
         rb -= 1
+    if _vmem_bytes(rb, t, d, d_ff, words, bwd) > 15 * 2 ** 20:
+        return None
+    return rb
+
+
+def ffn_train_kernel_fits(b: int, t: int, d: int, d_ff: int) -> bool:
+    """True when BOTH the fwd and flash-bwd fused-FFN programs fit scoped
+    VMEM at these dims — the EncoderConfig.ffn_backend='auto' gate. At
+    production dims (d512/d_ff2048) the bwd's per-row weight-grad partials
+    alone exceed the budget, so training falls back to the XLA path there."""
+    tp = (t + 7) // 8 * 8
+    return (_pick_rb(b, tp, d, d_ff, words=2) is not None
+            and _pick_rb(b, tp, d, d_ff, words=4, bwd=True) is not None)
+
+
+def _require_rb(rb: Optional[int], what: str, b, t, d, d_ff) -> int:
+    if rb is None:
+        raise ValueError(
+            f"fused FFN {what} does not fit scoped VMEM at B={b}, T={t}, "
+            f"d={d}, d_ff={d_ff} (even one row per program exceeds the "
+            "budget). Use ffn_backend='xla' (or 'auto', which checks "
+            "ffn_train_kernel_fits) at these dims.")
     return rb
 
 
@@ -264,7 +304,8 @@ def _ffn_fwd_partitioned(rate, interpret):
         d_ff = w1.shape[1]
         tp = (t + 7) // 8 * 8
         x_p = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
-        rb = _pick_rb(b, tp, d_ff, words=2)
+        rb = _require_rb(_pick_rb(b, tp, d, d_ff, words=2),
+                         "fwd", b, tp, d, d_ff)
         x_spec, vd, vf, m1, m2, seed = _specs(rb, tp, d, d_ff, b)
         kernel = functools.partial(_ffn_kernel, rate=rate, rb=rb,
                                    interpret=interpret)
@@ -301,7 +342,8 @@ def _ffn_bwd_partitioned(rate, interpret):
         tp = (t + 7) // 8 * 8
         pad_t = lambda z: jnp.pad(z, ((0, 0), (0, tp - t), (0, 0)))
         x_p, g_p = pad_t(x), pad_t(g.astype(x.dtype))
-        rb = _pick_rb(b, tp, d_ff, words=4)
+        rb = _require_rb(_pick_rb(b, tp, d, d_ff, words=4, bwd=True),
+                         "bwd", b, tp, d, d_ff)
         x_spec, vd, vf, m1, m2, seed = _specs(rb, tp, d, d_ff, b)
         kernel = functools.partial(_ffn_bwd_kernel, rate=rate, rb=rb,
                                    interpret=interpret)
