@@ -78,7 +78,12 @@ def test_trainer_fit_checkpoint_resume_eval(corpus, tmp_path):
 
     workdir = tmp_path / "run1"
     trainer = Trainer(model, cfg, tok, workdir, log_every=1)
+    import signal
+    before = signal.getsignal(signal.SIGTERM)
     state = trainer.fit(manifest, max_steps=4)
+    # the preemption hook must not leak past fit (a leaked handler turns any
+    # later SIGTERM into a checkpoint-save-and-exit inside unrelated code)
+    assert signal.getsignal(signal.SIGTERM) is before
     assert int(state.step) == 4
     assert (workdir / "checkpoints" / "last").exists()
     assert (workdir / "metrics.jsonl").exists()

@@ -33,7 +33,8 @@ from tpu_asr.train.optim import build_optimizer
 from tpu_asr.train.trainer import (DistilTrainState, make_distil_eval_step,
                                    make_distil_multi_step,
                                    make_distil_train_step)
-from tpu_asr.utils.checkpoint import (install_preemption_handler, rotate_last,
+from tpu_asr.utils.checkpoint import (install_preemption_handler,
+                                      restore_signal_handler, rotate_last,
                                       restore_train_state, save_train_state)
 from tpu_asr.utils.wer import WERMetric
 
@@ -220,9 +221,15 @@ class Trainer:
         else:
             rotate_last(self.ckpt_dir)
 
-        install_preemption_handler(
+        prev_handler = install_preemption_handler(
             lambda: save_train_state(self.ckpt_dir, self.state))
+        try:
+            return self._fit_epochs(cfg, val_manifest, max_steps, loader_kw,
+                                    dataset)
+        finally:
+            restore_signal_handler(prev_handler)
 
+    def _fit_epochs(self, cfg, val_manifest, max_steps, loader_kw, dataset):
         base_rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
         t0 = time.perf_counter()
         done = False

@@ -114,11 +114,20 @@ def load_student(ckpt_path, template_params, template_stats=None):
 
 
 def install_preemption_handler(save_fn: Callable[[], None],
-                               sig=signal.SIGTERM) -> None:
-    """Checkpoint on SIGTERM then exit — TPU preemptions are real (SURVEY.md §5)."""
+                               sig=signal.SIGTERM):
+    """Checkpoint on SIGTERM then exit — TPU preemptions are real (SURVEY.md §5).
+
+    Returns the previous handler so callers can scope the hook to the
+    training run (Trainer.fit restores it on exit; a leaked handler turns
+    any later SIGTERM — e.g. a test-harness timeout — into a bogus
+    checkpoint-save-and-exit inside unrelated code)."""
 
     def handler(signum, frame):
         save_fn()
         sys.exit(143)
 
-    signal.signal(sig, handler)
+    return signal.signal(sig, handler)
+
+
+def restore_signal_handler(prev, sig=signal.SIGTERM) -> None:
+    signal.signal(sig, prev if prev is not None else signal.SIG_DFL)
