@@ -839,10 +839,13 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
 
 
 def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk):
-    """Heads per program for the block kernels, ~20 MB fp32 budget."""
+    """Heads per program for the block kernels, ~20 MB fp32 budget.
+    TPU_ASR_ATTN_VMEM_MB overrides the budget (A/B probing only)."""
+    import os
+    budget = int(os.environ.get("TPU_ASR_ATTN_VMEM_MB", "20")) * 2 ** 20
     hpp = h
     while hpp > 1 and hpp * (n_tt * tp * tp + n_tdh * tp * half
-                             + n_tdk * tp * dk) * 4 > 20 * 2 ** 20:
+                             + n_tdk * tp * dk) * 4 > budget:
         hpp //= 2
     while h % hpp:
         hpp -= 1
