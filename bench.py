@@ -288,6 +288,50 @@ def _bench_full(model, variables, infer, headline_rtfx) -> None:
         "value": round(rtfx_q, 2), "unit": "x realtime",
         "vs_baseline": None,
         "vs_bf16": round(rtfx_q / rtfx_l, 3)}))
+
+    # ---- conformer-XLarge (635 M): the size table's largest row ----
+    # conformer_ctc_bpe.yaml:7-18: d 1024, 24 layers, 8 heads (dk 128 —
+    # the first config where head_dim exactly fills the MXU lane tile, so
+    # no lane-padding tax at all). d_model % 128 == 0 routes the conv
+    # module and subsampling to their XLA paths (the fused kernels' spare-
+    # lane / VMEM gates); attention stays on the block Pallas kernel.
+    xl_cfg = _MC(
+        spec_augment=None,
+        encoder=_Enc(n_layers=24, d_model=1024, n_heads=8),
+        decoder=_Dec(feat_in=1024, num_classes=128))
+    xlarge = _CTC(xl_cfg)
+    vars_xl = xlarge.init({"params": jax.random.PRNGKey(0)}, sig, sl,
+                          train=False)
+
+    @jax.jit
+    def infer_xl_scan(vs, sigs, signal_len):
+        def body(c, s):
+            out = xlarge.apply(vs, s, signal_len, train=False)
+            toks, n = _greedy(out.log_probs, out.encoded_len)
+            return c, (jnp.sum(toks), jnp.sum(n))
+        return jax.lax.scan(body, 0, sigs)[1]
+
+    @jax.jit
+    def infer_xl(vs, signal, signal_len):
+        out = xlarge.apply(vs, signal, signal_len, train=False)
+        return _greedy(out.log_probs, out.encoded_len)
+
+    np.asarray(infer_xl_scan(vars_xl, sigs_l, sl)[0])
+    t0 = time.perf_counter()
+    r_xl = infer_xl_scan(vars_xl, sigs_l, sl)
+    np.asarray(r_xl[0])
+    dt_xl = (time.perf_counter() - t0) / ITERS
+    fl_xl = compiled_flops(infer_xl, vars_xl, sig, sl)
+    util_xl = mfu(fl_xl, dt_xl)
+    rtfx_xl = b_l * SECONDS / dt_xl
+    print(json.dumps({
+        "metric": "conformer-XLarge (635M, d1024x24L) greedy RTFx @ "
+                  "batch 32, sustained",
+        "value": round(rtfx_xl, 2), "unit": "x realtime",
+        "vs_baseline": None,
+        "mfu": round(util_xl, 4) if util_xl is not None else None,
+        "tflops_per_step": round(fl_xl / 1e12, 3) if fl_xl else None}))
+    del vars_xl
     del vars_l, sigs_l
 
     # ---- batched beam-search decode (model + device beam, W=16) ----
