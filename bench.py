@@ -295,9 +295,13 @@ def _bench_full(model, variables, infer, headline_rtfx) -> None:
     # no lane-padding tax at all). d_model % 128 == 0 routes the conv
     # module and subsampling to their XLA paths (the fused kernels' spare-
     # lane / VMEM gates); attention stays on the block Pallas kernel.
+    # conv_kernel_size=5: the XLarge row's own kernel size (the table's
+    # other rows use 31) — without it the benched model has extra
+    # depthwise-conv work vs the reference recipe (ADVICE r3)
     xl_cfg = _MC(
         spec_augment=None,
-        encoder=_Enc(n_layers=24, d_model=1024, n_heads=8),
+        encoder=_Enc(n_layers=24, d_model=1024, n_heads=8,
+                     conv_kernel_size=5),
         decoder=_Dec(feat_in=1024, num_classes=128))
     xlarge = _CTC(xl_cfg)
     vars_xl = xlarge.init({"params": jax.random.PRNGKey(0)}, sig, sl,

@@ -113,10 +113,8 @@ def main() -> None:
     oj = jax.jit(opt_only)
     print(f"guard+opt+gnorm only : {timeit(oj, state, grads):8.2f} ms")
 
-    # 5. frontend + subsampling f+b (encoder pre-stack), isolated
-    from tpu_asr.models.ctc_model import CTCModel
-    stu = CTCModel(large_cfg)
-
+    # 5. mel frontend fwd only, isolated (subsampling is accounted for in
+    # the step's non-sublayer remainder — section 1 minus sections 2-4)
     from tpu_asr.ops.features import FilterbankFeatures
     fe = FilterbankFeatures(large_cfg.preprocessor)
 

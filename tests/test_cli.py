@@ -243,3 +243,30 @@ def test_asr_inference_packed_eval_flag(env, monkeypatch, capsys):
     asr_inference.main()
     out = capsys.readouterr().out
     assert "librispeech/test" in out and "wer=" in out
+
+
+def test_asr_inference_cli_export_artifact(env, monkeypatch, capsys, tmp_path):
+    """--export_path writes a .tasrx serving artifact of the restored
+    student (convert/export.py; the ExportableEncDecModel surface) that
+    loads and transcribes without model code or checkpoint."""
+    root, train_man, val_man, nemo = env
+    ckpt = root / "out" / "run" / "checkpoints" / "last"
+    assert ckpt.exists(), "run the training test first"
+    art = tmp_path / "student.tasrx"
+    import asr_inference
+    monkeypatch.setattr(sys, "argv", ["asr_inference.py",
+                                      "--ckpt_path", str(ckpt),
+                                      "--test_manifest", val_man,
+                                      "--teacher_nemo", nemo,
+                                      "--output_dir", str(root / "out"),
+                                      "--batch_size", "3", "--gpus", "1",
+                                      "--use_logit_distillation", "true",
+                                      "--export_path", str(art),
+                                      "--export_buckets", "2:0.5"])
+    asr_inference.main()
+    assert "serialized inference artifact" in capsys.readouterr().out
+    from tpu_asr.convert.export import load_exported
+    ex = load_exported(art)
+    rng = np.random.default_rng(0)
+    texts = ex.transcribe([rng.normal(scale=0.1, size=4000).astype(np.float32)])
+    assert len(texts) == 1 and isinstance(texts[0], str)

@@ -164,6 +164,14 @@ def build_inference_parser(description: str, diffm: bool = False):
     # several utterances per encoder row (exact per-utterance logits),
     # 1.2-1.3x on realistic duration mixes (Trainer.evaluate_packed)
     p.add_argument("--packed_eval", action="store_true")
+    # framework knob: serialized serving artifact (StableHLO via jax.export;
+    # the ExportableEncDecModel equivalent, convert/export.py)
+    p.add_argument("--export_path", type=str, default=None,
+                   help="write a .tasrx serialized-inference artifact of "
+                        "the restored student and exit before evaluation")
+    p.add_argument("--export_buckets", type=str, default="8:4,8:8,8:16",
+                   help="comma-separated batch:seconds static shapes for "
+                        "--export_path")
     if diffm:
         p.add_argument("--model_ver", type=parse_model_version, default=1)
         p.add_argument("--latent_dim", type=int, default=96)
@@ -495,6 +503,20 @@ def run_inference(args, diffm_version: Optional[int] = None) -> Dict[str, Dict]:
     ckpt = Path(args.ckpt_path)
     trainer.state = restore_train_state(ckpt.parent, trainer.state,
                                         name=ckpt.name)
+
+    if getattr(args, "export_path", None):
+        from tpu_asr.convert.export import export_inference
+        from tpu_asr.models.ctc_model import CTCModel
+        stu_vars = {"params": trainer.state.params["student"]}
+        stu_stats = (trainer.state.batch_stats or {}).get("student", {})
+        if stu_stats:
+            stu_vars["batch_stats"] = stu_stats
+        buckets = [(int(b.split(":")[0]), float(b.split(":")[1]))
+                   for b in args.export_buckets.split(",") if b]
+        out = export_inference(CTCModel(student_cfg), stu_vars, tokenizer,
+                               args.export_path, buckets=buckets)
+        print(f"serialized inference artifact: {out}")
+        return {}
 
     packed = getattr(args, "packed_eval", False)
     if packed and distill.use_flow_matching:

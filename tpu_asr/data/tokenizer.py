@@ -129,6 +129,51 @@ def parse_sentencepiece_model(data: bytes) -> List[Tuple[str, float, int]]:
 
 
 # ---------------------------------------------------------------------------
+# protobuf wire-format writer (the inverse of parse_model_proto: enough of
+# ModelProto that sentencepiece — and this file's reader — can load it)
+# ---------------------------------------------------------------------------
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _field(num: int, wire: int, payload: bytes) -> bytes:
+    return _varint((num << 3) | wire) + payload
+
+
+def _len_field(num: int, payload: bytes) -> bytes:
+    return _field(num, 2, _varint(len(payload)) + payload)
+
+
+def build_model_proto(pieces: Sequence[Tuple[str, float, int]],
+                      model_type: str = "bpe",
+                      add_dummy_prefix: bool = True) -> bytes:
+    """[(piece, score, type), ...] -> binary SentencePiece ModelProto.
+
+    Emits: repeated SentencePiece (field 1: piece=1, score=2 float,
+    type=3 enum), TrainerSpec.model_type (2.3), and
+    NormalizerSpec.{name=1, add_dummy_prefix=3} (field 3) — the fields the
+    real library requires plus everything parse_model_proto reads back."""
+    type_ids = {v: k for k, v in _MODEL_TYPE_NAMES.items()}
+    out = bytearray()
+    for piece, score, ptype in pieces:
+        sp = (_len_field(1, piece.encode("utf-8"))
+              + _field(2, 5, struct.pack("<f", float(score)))
+              + _field(3, 0, _varint(int(ptype))))
+        out += _len_field(1, sp)
+    out += _len_field(2, _field(3, 0, _varint(type_ids.get(model_type, 2))))
+    out += _len_field(3, (_len_field(1, b"identity")
+                          + _field(3, 0, _varint(int(add_dummy_prefix)))))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # tokenizer
 # ---------------------------------------------------------------------------
 
@@ -188,6 +233,26 @@ class SentencePieceBPETokenizer:
                        obj.get("model_type", "bpe"))
         pieces, meta = parse_model_proto(data)
         return cls(pieces, meta["add_dummy_prefix"], meta["model_type"])
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SentencePieceBPETokenizer":
+        if data[:1] == b"{":               # our JSON format
+            obj = json.loads(data)
+            return cls([(p, s, t) for p, s, t in obj["pieces"]],
+                       obj.get("add_dummy_prefix", True),
+                       obj.get("model_type", "bpe"))
+        pieces, meta = parse_model_proto(data)
+        return cls(pieces, meta["add_dummy_prefix"], meta["model_type"])
+
+    def serialized_proto(self) -> bytes:
+        """Binary SentencePiece ModelProto (the real library's on-disk
+        format — what NGC .nemo archives ship as tokenizer.model)."""
+        return build_model_proto(
+            list(zip(self.pieces, self.scores, self.types)),
+            self.model_type, self.add_dummy_prefix)
+
+    def save_proto(self, path) -> None:
+        Path(path).write_bytes(self.serialized_proto())
 
     def save(self, path) -> None:
         obj = {"pieces": [[p, s, t] for p, s, t in

@@ -840,9 +840,17 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
 
 def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk):
     """Heads per program for the block kernels, ~20 MB fp32 budget.
-    TPU_ASR_ATTN_VMEM_MB overrides the budget (A/B probing only)."""
+    TPU_ASR_ATTN_VMEM_MB overrides the budget (A/B probing only). The env
+    var is read at TRACE time and is NOT part of jit's cache key — set it
+    before the first trace; changing it later keeps the stale hpp."""
     import os
-    budget = int(os.environ.get("TPU_ASR_ATTN_VMEM_MB", "20")) * 2 ** 20
+    try:
+        budget_mb = int(os.environ.get("TPU_ASR_ATTN_VMEM_MB", "20"))
+        if not 1 <= budget_mb <= 1024:
+            budget_mb = 20
+    except ValueError:
+        budget_mb = 20
+    budget = budget_mb * 2 ** 20
     hpp = h
     while hpp > 1 and hpp * (n_tt * tp * tp + n_tdh * tp * half
                              + n_tdk * tp * dk) * 4 > budget:
