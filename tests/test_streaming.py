@@ -118,3 +118,57 @@ def test_streamer_end_to_end_matches_offline_greedy(rng):
     streamer = CacheAwareStreamer(model, v)
     ids = streamer.stream(np.asarray(sig[0]), return_ids=True)
     assert ids == offline_ids
+
+
+def test_batched_unequal_length_streams_match_offline(rng):
+    """Per-sample valid-count cache rolls (VERDICT r3 item 9): one batch
+    carries two streams of different lengths — stream B ends early (partial
+    final chunk) and then rides along with chunk_len 0 while stream A keeps
+    streaming real audio. Each stream must match its own offline encoder
+    output exactly; before the per-sample rolls, B's partial chunk pushed
+    pad frames into the shared-static roll and broke the right-aligned
+    validity of EVERY stream's cache."""
+    enc = ConformerEncoder(STREAM_CFG)
+    t_a, t_b = 61, 37
+    feats = np.zeros((2, 16, t_a), np.float32)
+    feats[0, :, :t_a] = rng.standard_normal((16, t_a))
+    feats[1, :, :t_b] = rng.standard_normal((16, t_b))
+    lens = jnp.array([t_a, t_b])
+    v = enc.init(jax.random.PRNGKey(0), jnp.asarray(feats), lens)
+
+    offline, off_len, _ = enc.apply(v, jnp.asarray(feats), lens)
+
+    sc = setup_streaming_params(STREAM_CFG)
+    cache = get_initial_cache_state(STREAM_CFG, 2)
+    feat_tail = np.zeros((2, 16, sc.pre_encode_cache_size), np.float32)
+    # stream A: full chunks + final partial; stream B: ends early with a
+    # partial final chunk, then exhausted (chunk_len 0) for the rest
+    takes_a = [16, 16, 16, 13]
+    takes_b = [16, 16, 5, 0]
+    pos = [0, 0]
+    got = [[], []]
+    for ta, tb in zip(takes_a, takes_b):
+        takes = [ta, tb]
+        chunk = np.zeros((2, 16, sc.chunk_size), np.float32)
+        for i, tk in enumerate(takes):
+            chunk[i, :, :tk] = feats[i, :, pos[i]:pos[i] + tk]
+        step_in = jnp.asarray(np.concatenate([feat_tail, chunk], axis=2))
+        step_len = jnp.asarray([tk + sc.pre_encode_cache_size
+                                for tk in takes], jnp.int32)
+        out, out_len, _f, cache = enc.apply(
+            v, step_in, step_len, train=False, cache=cache,
+            drop_extra_pre_encoded=sc.drop_extra_pre_encoded)
+        for i, tk in enumerate(takes):
+            k = int(out_len[i])
+            got[i].append(np.asarray(out[i, :k]))
+            # per-sample feature tail (what CacheAwareStreamer.step does)
+            j = tk + np.arange(sc.pre_encode_cache_size)
+            feat_tail[i] = np.asarray(step_in[i][:, j])
+            pos[i] += tk
+    assert pos == [t_a, t_b]
+
+    for i, n in enumerate([int(off_len[0]), int(off_len[1])]):
+        streamed = np.concatenate(got[i], axis=0)
+        assert streamed.shape[0] == n
+        np.testing.assert_allclose(streamed, np.asarray(offline[i, :n]),
+                                   atol=2e-4, rtol=1e-3)

@@ -15,13 +15,15 @@ Version dispatch (`_compute_v_losses_one_layer`, :645-729):
   v7 FMpre(unchained) + noise+diff -> FMpost(fm2) | v8 FMpre(chained)+KDpost
 
 Losses are SUMMED over layers, not averaged — reference quirk kept
-(asr_train_diffm.py:788-792; SURVEY.md §7.3). The caller vmaps this module over
-the layer axis and sums.
+(asr_train_diffm.py:788-792; SURVEY.md §7.3). The caller stacks the layer
+axis into the batch (B-MAJOR) and passes loss_layers=L — params are shared
+across layers, so one big-batch pass is equivalent to the vmap it replaces
+and lets the fused Euler kernel (ops/pallas_fm.py) run for the latent FM.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -74,18 +76,17 @@ def _latent_fm_cfg(cfg: DiffmConfig) -> FlowMatchingConfig:
         student_dim=cfg.latent_dim,
         teacher_dim=cfg.latent_dim,
         shape_transform="identity",
-        # LatentKDPipeline is nn.vmap-ed over the layer axis by the distil
-        # model; the fused Euler kernel (ops/pallas_fm.py) is wrapped in
-        # custom_partitioning, which has no batching rule — pin the scan
-        # backend here. (The top-level FM path avoids the vmap instead by
-        # stacking layers into the batch; see distil_model.py.)
-        euler_backend="xla",
+        # euler_backend passes through from cfg.fm: since the distil model
+        # stacks layers into the batch (B-MAJOR) instead of nn.vmap-ing the
+        # pipeline (see DistilCTCModel diffm section), the fused Euler
+        # kernel (ops/pallas_fm.py) needs no batching rule and 'auto'
+        # resolves to pallas on TPU for the mlp meta encoder.
     )
 
 
 class LatentKDPipeline(nn.Module):
-    """Per-layer diffm loss computation; vmapped over the layer axis by the
-    distillation model. Returns a dict of the five loss components."""
+    """diffm loss computation; the distillation model stacks the layer axis
+    into the batch (loss_layers=L). Returns the five loss components."""
 
     cfg: DiffmConfig
     diffusion_steps: int = 9
@@ -105,10 +106,18 @@ class LatentKDPipeline(nn.Module):
         stu_feat: jnp.ndarray,      # (B, T, C_s)
         tch_feat: jnp.ndarray,      # (B, T, C_t)
         train: bool = False,
+        loss_layers: Optional[int] = None,
     ) -> Dict[str, jnp.ndarray]:
+        """`loss_layers=L` declares the batch rows are L stacked encoder
+        layers (B-MAJOR; the FlowMatchingModule contract): every returned
+        loss then reproduces the per-layer-summed aggregation the reference
+        gets from its per-layer module loop (asr_train_diffm.py:772-792) —
+        for the elementwise means here, sum_l mean_l == L * mean_all
+        (equal-size layer slabs)."""
         c = self.cfg
         v = c.model_version
         zero = jnp.zeros((), jnp.float32)
+        lscale = float(loss_layers) if loss_layers else 1.0
 
         # teacher AE. NOTE the detach ORDER (asr_train_diffm.py:657-660):
         # recon = dec(enc(t)) is computed BEFORE z_t.detach(), so the recon
@@ -120,7 +129,7 @@ class LatentKDPipeline(nn.Module):
         rec = nn.Conv(c.teacher_dim, kernel_size=(1,), dtype=self.dtype, name="tae_dec")(z_t)
         z_t = jax.lax.stop_gradient(z_t)
         # recon criterion is always MSE regardless of kd_loss_type (asr_train_diffm.py:555)
-        recon_loss = jnp.mean(
+        recon_loss = lscale * jnp.mean(
             jnp.square(rec.astype(jnp.float32) - tch_feat.astype(jnp.float32)))
 
         # student projection
@@ -136,39 +145,39 @@ class LatentKDPipeline(nn.Module):
                "kd_loss_post": zero, "fm_loss_post": zero}
 
         if v == 1:
-            out["kd_loss_pre"] = self._kd_crit(z_s, z_t)
+            out["kd_loss_pre"] = lscale * self._kd_crit(z_s, z_t)
         elif v == 2:
-            fm_loss, _ = fm1(z_s, z_t, train=train)
+            fm_loss, _ = fm1(z_s, z_t, train=train, loss_layers=loss_layers)
             out["fm_loss_pre"] = fm_loss
         elif v == 3:
             z_deno = denoiser(adapter(z_s))
-            out["kd_loss_post"] = self._kd_crit(z_deno, z_t)
+            out["kd_loss_post"] = lscale * self._kd_crit(z_deno, z_t)
         elif v == 4:
-            fm_loss_pre, _ = fm1(z_s, z_t, train=train)
+            fm_loss_pre, _ = fm1(z_s, z_t, train=train, loss_layers=loss_layers)
             z_deno = denoiser(adapter(z_s))
             out["fm_loss_pre"] = fm_loss_pre
-            out["kd_loss_post"] = self._kd_crit(z_deno, z_t)
+            out["kd_loss_post"] = lscale * self._kd_crit(z_deno, z_t)
         elif v == 5:
             z_deno = denoiser(adapter(z_s))
-            fm_loss, _ = fm1(z_deno, z_t, train=train)
+            fm_loss, _ = fm1(z_deno, z_t, train=train, loss_layers=loss_layers)
             out["fm_loss_post"] = fm_loss
         elif v == 6:
-            fm_loss_pre, z_aligned = fm1(z_s, z_t, train=train)
+            fm_loss_pre, z_aligned = fm1(z_s, z_t, train=train, loss_layers=loss_layers)
             z_deno = denoiser(adapter(z_aligned))
-            fm_loss_post, _ = fm2(z_deno, z_t, train=train)
+            fm_loss_post, _ = fm2(z_deno, z_t, train=train, loss_layers=loss_layers)
             out["fm_loss_pre"] = fm_loss_pre
             out["fm_loss_post"] = fm_loss_post
         elif v == 7:
-            fm_loss_pre, _ = fm1(z_s, z_t, train=train)
+            fm_loss_pre, _ = fm1(z_s, z_t, train=train, loss_layers=loss_layers)
             z_deno = denoiser(adapter(z_s))
-            fm_loss_post, _ = fm2(z_deno, z_t, train=train)
+            fm_loss_post, _ = fm2(z_deno, z_t, train=train, loss_layers=loss_layers)
             out["fm_loss_pre"] = fm_loss_pre
             out["fm_loss_post"] = fm_loss_post
         elif v == 8:
-            fm_loss_pre, z_aligned = fm1(z_s, z_t, train=train)
+            fm_loss_pre, z_aligned = fm1(z_s, z_t, train=train, loss_layers=loss_layers)
             z_deno = denoiser(adapter(z_aligned))
             out["fm_loss_pre"] = fm_loss_pre
-            out["kd_loss_post"] = self._kd_crit(z_deno, z_t)
+            out["kd_loss_post"] = lscale * self._kd_crit(z_deno, z_t)
         else:
             raise ValueError(f"model_version must be 1..8, got {v}")
         return out

@@ -610,7 +610,14 @@ class ConformerConvolution(nn.Module):
             # causal kernel (pad_r == 0).
             assert pad_r == 0, "streaming conv requires conv_context_size='causal'"
             h = jnp.concatenate([time_cache.astype(h.dtype), h], axis=1)
-            new_cache = h[:, -pad_l:, :]
+            # per-sample roll: a partial chunk (valid v < T, batched
+            # unequal-length streams) must not push its zeroed pad frames
+            # into the cache — take the pad_l frames ENDING at each
+            # sample's last valid frame (cache start = pad_l + v - pad_l
+            # = v; the static [-pad_l:] slice is the v == T special case)
+            v = jnp.sum(mask.astype(jnp.int32), axis=1)
+            j = v[:, None] + jnp.arange(pad_l)[None, :]
+            new_cache = jnp.take_along_axis(h, j[:, :, None], axis=1)
             pad_l = 0
         # depthwise conv over time (the lax call nn.Conv lowers to)
         h = jax.lax.conv_general_dilated(
@@ -753,8 +760,16 @@ class ConformerLayer(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm_self_att")(x)
         if cache is not None:
             # the channel cache stores post-LN attention inputs; roll in the
-            # current chunk (cache_drop_size = 0, chunked_limited streaming)
-            new_lc = jnp.concatenate([lc, h.astype(lc.dtype)], axis=1)[:, h.shape[1]:, :]
+            # current chunk (cache_drop_size = 0, chunked_limited streaming).
+            # Per-sample valid-count roll: with batched unequal-length
+            # streams a partial chunk's pad rows (garbage post-LN values)
+            # must stay out of the cache — each sample's window starts at
+            # its own valid count v (v == T reduces to the static
+            # [T:] slice), keeping validity right-aligned for kv_valid.
+            tot = jnp.concatenate([lc, h.astype(lc.dtype)], axis=1)
+            vq = jnp.sum(mask.astype(jnp.int32), axis=1)
+            jq = vq[:, None] + jnp.arange(lc.shape[1])[None, :]
+            new_lc = jnp.take_along_axis(tot, jq[:, :, None], axis=1)
         h = RelPositionMultiHeadAttention(
             c.d_model, c.n_heads, c.dropout_att, self.dtype,
             tuple(c.att_context_size), c.att_context_style,

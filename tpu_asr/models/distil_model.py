@@ -325,15 +325,22 @@ class DistilCTCModel(nn.Module):
         # ----- diffm latent pipeline: summed over layers
         #       (asr_train_diffm.py:772-792) -----
         if train and d.use_diffm and tch_feats is not None:
-            diffm_vmap = nn.vmap(
-                lambda mod, s, t: mod(s, t, train=train),
-                variable_axes={"params": None},
-                split_rngs={"params": False, "noise": True, "dropout": True},
-                in_axes=(0, 0),
-            )
-            v_losses = diffm_vmap(self.diffm_pipeline, stu_feats, tch_feats)
+            # layers stacked into the batch B-MAJOR (row = b * L + l; dp
+            # sharding on the batch axis survives the reshape) — params are
+            # shared across layers (the nn.vmap this replaces used
+            # variable_axes={'params': None}), so one big-batch pass is
+            # equivalent, and the fused multi-step Euler kernel
+            # (ops/pallas_fm.py, custom_partitioning: no batching rule)
+            # now covers the latent FM too. loss_layers=L reproduces the
+            # reference's per-layer-summed loss aggregation.
+            n_l, b_sz = stu_feats.shape[0], stu_feats.shape[1]
+            stack = lambda z: z.transpose(1, 0, 2, 3).reshape(
+                (b_sz * n_l,) + z.shape[2:])
+            v_losses = self.diffm_pipeline(
+                stack(stu_feats), stack(tch_feats), train=train,
+                loss_layers=n_l)
             for key, val in v_losses.items():
-                losses[f"diffm/{key}"] = jnp.sum(val)
+                losses[f"diffm/{key}"] = val
 
         total = zero
         for v in losses.values():

