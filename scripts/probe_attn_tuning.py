@@ -50,14 +50,15 @@ def main() -> None:
     tp = PA._round_up(t, PA.LANE)
     dk = cfg.d_model // cfg.n_heads
     half = cfg.d_model // 2
-    hpp_f = PA._pick_hpp_block(cfg.n_heads, tp, dk, half,
-                               n_tt=3, n_tdh=6, n_tdk=8)
-    hpp_b = PA._pick_hpp_block(cfg.n_heads, tp, dk, half,
-                               n_tt=4, n_tdh=8, n_tdk=12)
-    budget = os.environ.get("TPU_ASR_ATTN_VMEM_MB", "20")
-    print(f"budget={budget} MB -> hpp fwd={hpp_f} (grid {b}x"
-          f"{cfg.n_heads // hpp_f}), bwd={hpp_b} (grid {b}x"
-          f"{cfg.n_heads // hpp_b})")
+    budget = os.environ.get("TPU_ASR_ATTN_VMEM_MB", "40 (default)")
+    for rate in (0.0, 0.1):
+        hpp_f = PA._pick_hpp_block(cfg.n_heads, tp, dk, half,
+                                   n_tt=3, n_tdh=6, n_tdk=8, rate=rate)
+        hpp_b = PA._pick_hpp_block(cfg.n_heads, tp, dk, half,
+                                   n_tt=4, n_tdh=8, n_tdk=12, rate=rate)
+        print(f"budget={budget} MB drop={rate}: hpp fwd={hpp_f} "
+              f"(grid {cfg.n_heads // hpp_f}x{b}), bwd={hpp_b} "
+              f"(grid {cfg.n_heads // hpp_b}x{b})")
 
     class AttnSub(nn.Module):
         cfg: EncoderConfig
@@ -90,7 +91,10 @@ def main() -> None:
             @jax.jit
             def run(p, x):
                 def sc(carry, _):
-                    return apply(p, carry, False)[:, :1] * 0 + carry, ()
+                    # keep the apply LIVE: a *0 feedback is folded away by
+                    # XLA's algebraic simplifier (mul(x,0)->0) and the whole
+                    # attention would be DCE'd; 1e-9 perturbs negligibly
+                    return carry + apply(p, carry, False)[:, :1] * 1e-9, ()
                 xf, _ = jax.lax.scan(sc, x, None, length=n)
                 return jnp.sum(xf[0, 0].astype(jnp.float32))
         else:

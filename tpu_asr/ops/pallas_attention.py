@@ -618,8 +618,8 @@ def _block_scores(x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref,
                             preferred_element_type=jnp.float32)
     w = jax.lax.dot_general(wod16, qv16, wdn,
                             preferred_element_type=jnp.float32)
-    sint = sint_ref[:]                       # (Dh, T) fp32
-    cost = cost_ref[:]
+    sint = sint_ref[:].astype(jnp.float32)   # (Dh, T) bf16 table, VPU fp32
+    cost = cost_ref[:].astype(jnp.float32)
     a = (u * sint + w * cost).astype(jnp.bfloat16)
     bmat = (w * sint - u * cost).astype(jnp.bfloat16)
     # bd[h,t,s] = sum_j a[h,j,t] cos_s[s,j] + b[h,j,t] sin_s[s,j]
@@ -659,7 +659,7 @@ def _block_fwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
         wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref, bias_ref[0],
         t=t, dk_real=dk_real, left=left, right=right, seg=seg)
     if rate > 0.0:
-        seed_base = seed_ref[pl.program_id(0), pl.program_id(1) * hpp]
+        seed_base = seed_ref[pl.program_id(1), pl.program_id(0) * hpp]
         keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
         attn = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
 
@@ -678,18 +678,12 @@ def _block_fwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
     for l in range(1, hpp):
         out = out + jax.lax.dot_general(ctx16[l], wo16[l], mdn,
                                         preferred_element_type=jnp.float32)
-    # head-group partials accumulate into ONE (T, D) block: grid dim 1 is
-    # innermost, so the block stays resident across the j sweep (n_g is 1 at
-    # ASR sizes — the accumulate branch only exists for tiny-VMEM fallbacks)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        o_ref[0] = out.astype(o_ref.dtype)
-
-    @pl.when(j != 0)
-    def _():
-        o_ref[0] = (o_ref[0].astype(jnp.float32) + out).astype(o_ref.dtype)
+    # grid is (head_groups, batch) with batch INNERMOST: the weight blocks
+    # (index map on dim 0 only) stay VMEM-resident across the whole batch
+    # sweep instead of being refetched per program. Each program writes its
+    # head group's (T, D) output-projection partial; the caller sums over
+    # the (usually 1) head-group axis.
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
@@ -699,9 +693,13 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
                       dwod_ref, dcu_ref, dcv_ref, dbk_ref, dbv_ref,
                       *, t, dk_real, left, right, hpp, rate,
                       interpret=False):
-    """Flash-style backward: recompute projections + attention in VMEM, emit
-    dx (head-group partial) and per-batch-program weight/bias grad partials
-    (summed over batch outside — the dwev pattern)."""
+    """Flash-style backward: recompute projections + attention in VMEM.
+    Grid is (head_groups, batch) with batch INNERMOST: weight/bias grads
+    accumulate IN PLACE into their VMEM-resident block across the batch
+    sweep (block index constant over the inner dim — grid-sequential
+    accumulation), so only the final (h, dk, ·) sums ever reach HBM instead
+    of per-(batch, head) partials (~168 MB/layer at conformer-LARGE). dx is
+    emitted as a per-head-group partial, summed by the caller."""
     x16 = x_ref[0].astype(jnp.bfloat16)
     g16 = g_ref[0].astype(jnp.bfloat16)                # (T, D)
     attn, qt, q_vt, kt, vt = _block_scores(
@@ -709,7 +707,7 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
         wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref, bias_ref[0],
         t=t, dk_real=dk_real, left=left, right=right)
     if rate > 0.0:
-        seed_base = seed_ref[pl.program_id(0), pl.program_id(1) * hpp]
+        seed_base = seed_ref[pl.program_id(1), pl.program_id(0) * hpp]
         keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
         attn_d = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
     else:
@@ -727,8 +725,8 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
     ctx16 = ctx.astype(jnp.bfloat16)
     # dWo[h,dk,D] = sum_t ctx[h,t,dk] g[t,D]
     gdn = (((1,), (0,)), ((), ()))           # (h,T,dk) x (T,D) -> (h,dk,D)
-    dwo_ref[0] = jax.lax.dot_general(ctx16, g16, gdn,
-                                     preferred_element_type=jnp.float32)
+    dwo_val = jax.lax.dot_general(ctx16, g16, gdn,
+                                  preferred_element_type=jnp.float32)
     # d_ctx, transposed: (h, dk, T) = (h,dk,D) x (T,D) contracting D
     ddn = (((2,), (1,)), ((), ()))
     dctx_t = jax.lax.dot_general(wo16, g16, ddn,
@@ -767,8 +765,8 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
                              preferred_element_type=jnp.float32)
     db = jax.lax.dot_general(ds16, sin16, pdn2,
                              preferred_element_type=jnp.float32)
-    sin_r = sin_ref[:]                       # (T, Dh) fp32, row t
-    cos_r = cos_ref[:]
+    sin_r = sin_ref[:].astype(jnp.float32)   # (T, Dh) bf16 table, row t
+    cos_r = cos_ref[:].astype(jnp.float32)
     du = (da * sin_r[None] - db * cos_r[None]).astype(jnp.bfloat16)
     dw = (da * cos_r[None] + db * sin_r[None]).astype(jnp.bfloat16)
     # dqv[h,t,dk] = sum_j du[h,t,j] wev[h,dk,j] (+ wod term)
@@ -781,10 +779,10 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
                                     preferred_element_type=jnp.float32)
     # dWev[h,dk,j] = sum_t q_vT[h,dk,t] du[h,t,j]
     vdn = (((2,), (1,)), ((0,), (0,)))
-    dwev_ref[0] = jax.lax.dot_general(qv16, du, vdn,
-                                      preferred_element_type=jnp.float32)
-    dwod_ref[0] = jax.lax.dot_general(qv16, dw, vdn,
-                                      preferred_element_type=jnp.float32)
+    dwev_val = jax.lax.dot_general(qv16, du, vdn,
+                                   preferred_element_type=jnp.float32)
+    dwod_val = jax.lax.dot_general(qv16, dw, vdn,
+                                   preferred_element_type=jnp.float32)
 
     dq = dqu + dqv                                     # (h, T, dk)
     dq16 = dq.astype(jnp.bfloat16)
@@ -809,50 +807,71 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
                                       preferred_element_type=jnp.float32)
         dx = dx + jax.lax.dot_general(dvs16[l], wv16[l], xdn,
                                       preferred_element_type=jnp.float32)
-    j = pl.program_id(1)
+    dx_ref[0, 0] = dx.astype(dx_ref.dtype)
 
-    @pl.when(j == 0)
-    def _():
-        dx_ref[0] = dx.astype(dx_ref.dtype)
-
-    @pl.when(j != 0)
-    def _():
-        dx_ref[0] = (dx_ref[0].astype(jnp.float32) + dx).astype(dx_ref.dtype)
-
-    # weight grad partials: dWq[h,dk,D] = sum_t dq[h,t,dk] x[t,D]
+    # weight grads: dWq[h,dk,D] = sum_t dq[h,t,dk] x[t,D]
     wgd = (((1,), (0,)), ((), ()))           # (h,T,dk) x (T,D) -> (h,dk,D)
-    dwq_ref[0] = jax.lax.dot_general(dq16, x16, wgd,
-                                     preferred_element_type=jnp.float32)
-    dwk_ref[0] = jax.lax.dot_general(dks16, x16, wgd,
-                                     preferred_element_type=jnp.float32)
-    dwv_ref[0] = jax.lax.dot_general(dvs16, x16, wgd,
-                                     preferred_element_type=jnp.float32)
-    # bias grad partials (summed over T; padded rows contribute 0 through
-    # the zero-padded g). Emitted as (hpp, 1, dk): the unit axis keeps hpp
-    # out of the block's last-two dims, which Mosaic requires to be
+    dwq_val = jax.lax.dot_general(dq16, x16, wgd,
+                                  preferred_element_type=jnp.float32)
+    dwk_val = jax.lax.dot_general(dks16, x16, wgd,
+                                  preferred_element_type=jnp.float32)
+    dwv_val = jax.lax.dot_general(dvs16, x16, wgd,
+                                  preferred_element_type=jnp.float32)
+    # bias grads (summed over T; padded rows contribute 0 through the
+    # zero-padded g). Emitted as (hpp, 1, dk): the unit axis keeps hpp out
+    # of the block's last-two dims, which Mosaic requires to be
     # 8/128-multiples or full — (hpp, dk) would be illegal when the VMEM
     # budget picks hpp < h (e.g. d512/h8/dk64 training).
-    dcu_ref[0] = jnp.sum(dqu, axis=1, keepdims=True)
-    dcv_ref[0] = jnp.sum(dqv, axis=1, keepdims=True)
-    dbk_ref[0] = jnp.sum(dk_s, axis=1, keepdims=True)
-    dbv_ref[0] = jnp.sum(dvs, axis=1, keepdims=True)
+    dcu_val = jnp.sum(dqu, axis=1, keepdims=True)
+    dcv_val = jnp.sum(dqv, axis=1, keepdims=True)
+    dbk_val = jnp.sum(dk_s, axis=1, keepdims=True)
+    dbv_val = jnp.sum(dvs, axis=1, keepdims=True)
+
+    # grid-sequential accumulation over the inner batch dim: the blocks'
+    # index maps ignore program_id(1), so they stay VMEM-resident across
+    # consecutive batch iterations and only the final sums hit HBM.
+    i = pl.program_id(1)
+    acc = [(dwq_ref, dwq_val), (dwk_ref, dwk_val), (dwv_ref, dwv_val),
+           (dwo_ref, dwo_val), (dwev_ref, dwev_val), (dwod_ref, dwod_val),
+           (dcu_ref, dcu_val), (dcv_ref, dcv_val), (dbk_ref, dbk_val),
+           (dbv_ref, dbv_val)]
+
+    @pl.when(i == 0)
+    def _():
+        for ref, val in acc:
+            ref[:] = val
+
+    @pl.when(i != 0)
+    def _():
+        for ref, val in acc:
+            ref[:] = ref[:] + val
 
 
-def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk):
-    """Heads per program for the block kernels, ~20 MB fp32 budget.
+def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0):
+    """Heads per program for the block kernels.
+
+    The working-set model is a per-head fp32 byte count against a 40 MB
+    budget CALIBRATED on the v5e's hard 16.00 MB scoped-VMEM limit (the
+    model over-counts ~2.3x — Mosaic reuses live ranges it can't see here).
+    Measured anchors at conformer-LARGE train dims (d512/h8, T=376):
+    fwd hpp=8 fits with bf16 tables and is the fastest drop=0 config;
+    fwd hpp=8 with in-kernel dropout does NOT compile (the (T, T) keep
+    mask per head pushes it over), hence the rate>0 term that lands those
+    configs on hpp=4; bwd hpp=4 fits and beats hpp=2 (~0.5 ms/layer f+b).
     TPU_ASR_ATTN_VMEM_MB overrides the budget (A/B probing only). The env
     var is read at TRACE time and is NOT part of jit's cache key — set it
     before the first trace; changing it later keeps the stale hpp."""
     import os
     try:
-        budget_mb = int(os.environ.get("TPU_ASR_ATTN_VMEM_MB", "20"))
+        budget_mb = int(os.environ.get("TPU_ASR_ATTN_VMEM_MB", "40"))
         if not 1 <= budget_mb <= 1024:
-            budget_mb = 20
+            budget_mb = 40
     except ValueError:
-        budget_mb = 20
+        budget_mb = 40
     budget = budget_mb * 2 ** 20
+    n_drop = 1 if rate > 0.0 else 0
     hpp = h
-    while hpp > 1 and hpp * (n_tt * tp * tp + n_tdh * tp * half
+    while hpp > 1 and hpp * ((n_tt + n_drop) * tp * tp + n_tdh * tp * half
                              + n_tdk * tp * dk) * 4 > budget:
         hpp //= 2
     while h % hpp:
@@ -864,7 +883,11 @@ def _block_pad(x, sin_t, cos_t, key_bias):
     b, t, d = x.shape
     tp = _round_up(t, LANE)
     x_p = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
-    pad_tab = lambda z: jnp.pad(z, ((0, tp - t), (0, 0)))
+    # tables ship bf16: every matmul consumes them bf16 anyway and the VPU
+    # rotation upcasts in-kernel; halving the operand blocks is what lets
+    # hpp=8 fit the 16 MB scoped-VMEM limit at conformer-LARGE dims
+    pad_tab = lambda z: jnp.pad(z.astype(jnp.bfloat16),
+                                ((0, tp - t), (0, 0)))
     sin_p, cos_p = pad_tab(sin_t), pad_tab(cos_t)
     sint_p = jnp.transpose(sin_p)                     # (Dh, tp) constants
     cost_p = jnp.transpose(cos_p)
@@ -883,7 +906,8 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
     half = wev.shape[-1]
     x_p, sin_p, cos_p, sint_p, cost_p, bias, tp = _block_pad(
         x, sin_t, cos_t, key_bias)
-    hpp = _pick_hpp_block(h, tp, dk, half, n_tt=3, n_tdh=6, n_tdk=8)
+    hpp = _pick_hpp_block(h, tp, dk, half, n_tt=3, n_tdh=6, n_tdk=8,
+                          rate=dropout_rate)
     n_g = h // hpp
 
     kernel = functools.partial(_block_fwd_kernel, t=tp, dk_real=dk,
@@ -891,26 +915,28 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
                                right=att_context_size[1], hpp=hpp,
                                rate=dropout_rate, with_seg=seg is not None,
                                interpret=interpret)
-    x_spec = pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
+    # grid (head_groups, batch): batch innermost keeps the weight blocks
+    # (index maps on dim 0 only) VMEM-resident across the batch sweep
+    x_spec = pl.BlockSpec((1, tp, d), lambda j, i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((hpp, d, dk), lambda i, j: (j, 0, 0),
+    w_spec = pl.BlockSpec((hpp, d, dk), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
-    c_spec = pl.BlockSpec((hpp, dk, 1), lambda i, j: (j, 0, 0),
+    c_spec = pl.BlockSpec((hpp, dk, 1), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
-    p_spec = pl.BlockSpec((hpp, dk, half), lambda i, j: (j, 0, 0),
+    p_spec = pl.BlockSpec((hpp, dk, half), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((tp, half), lambda i, j: (0, 0),
+    t_spec = pl.BlockSpec((tp, half), lambda j, i: (0, 0),
                           memory_space=pltpu.VMEM)
-    tt_spec = pl.BlockSpec((half, tp), lambda i, j: (0, 0),
+    tt_spec = pl.BlockSpec((half, tp), lambda j, i: (0, 0),
                            memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((hpp, dk, d), lambda i, j: (j, 0, 0),
+    o_spec = pl.BlockSpec((hpp, dk, d), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((b, h), lambda i, j: (0, 0),
+        pl.BlockSpec((b, h), lambda j, i: (0, 0),
                      memory_space=pltpu.SMEM),
         x_spec, w_spec, w_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
         p_spec, p_spec, t_spec, t_spec, tt_spec, tt_spec,
-        pl.BlockSpec((1, 1, 1, tp), lambda i, j: (i, 0, 0, 0),
+        pl.BlockSpec((1, 1, 1, tp), lambda j, i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         o_spec,
     ]
@@ -919,19 +945,19 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
     if seg is not None:
         seg_p = jnp.pad(seg.astype(jnp.float32), ((0, 0), (0, tp - t)))
         in_specs += [
-            pl.BlockSpec((1, tp, 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, tp, 1), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tp), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, tp), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [seg_p[:, :, None], seg_p[:, None, :]]
     out = pl.pallas_call(
         kernel,
-        grid=(b, n_g),
+        grid=(n_g, b),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, tp, d), lambda j, i: (j, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_g, b, tp, d), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * tp * (tp * dk * 2 + tp * half * 2
                                     + d * dk * 4 + dk * half * 2),
@@ -940,7 +966,9 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
         ),
         interpret=interpret,
     )(*operands)
-    return out
+    if n_g == 1:
+        return out[0]
+    return out.astype(jnp.float32).sum(axis=0).astype(x.dtype)
 
 
 def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
@@ -951,7 +979,8 @@ def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
     half = wev.shape[-1]
     x_p, sin_p, cos_p, sint_p, cost_p, bias, tp = _block_pad(
         x, sin_t, cos_t, key_bias)
-    hpp = _pick_hpp_block(h, tp, dk, half, n_tt=4, n_tdh=8, n_tdk=12)
+    hpp = _pick_hpp_block(h, tp, dk, half, n_tt=4, n_tdh=8, n_tdk=12,
+                          rate=dropout_rate)
     n_g = h // hpp
     g_p = jnp.pad(g.astype(x.dtype), ((0, 0), (0, tp - t), (0, 0)))
 
@@ -959,46 +988,49 @@ def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
                                left=att_context_size[0],
                                right=att_context_size[1], hpp=hpp,
                                rate=dropout_rate, interpret=interpret)
-    x_spec = pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
+    # grid (head_groups, batch), batch innermost: weight operand blocks stay
+    # resident across the batch sweep and the weight-grad blocks accumulate
+    # in place (their index maps ignore the inner dim) — see the kernel note
+    x_spec = pl.BlockSpec((1, tp, d), lambda j, i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((hpp, d, dk), lambda i, j: (j, 0, 0),
+    w_spec = pl.BlockSpec((hpp, d, dk), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
-    c_spec = pl.BlockSpec((hpp, dk, 1), lambda i, j: (j, 0, 0),
+    c_spec = pl.BlockSpec((hpp, dk, 1), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
-    p_spec = pl.BlockSpec((hpp, dk, half), lambda i, j: (j, 0, 0),
+    p_spec = pl.BlockSpec((hpp, dk, half), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((tp, half), lambda i, j: (0, 0),
+    t_spec = pl.BlockSpec((tp, half), lambda j, i: (0, 0),
                           memory_space=pltpu.VMEM)
-    tt_spec = pl.BlockSpec((half, tp), lambda i, j: (0, 0),
+    tt_spec = pl.BlockSpec((half, tp), lambda j, i: (0, 0),
                            memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((hpp, dk, d), lambda i, j: (j, 0, 0),
+    o_spec = pl.BlockSpec((hpp, dk, d), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
+    g_spec = pl.BlockSpec((1, tp, d), lambda j, i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    dxd = jax.ShapeDtypeStruct((b, tp, d), x.dtype)
-    dwd = jax.ShapeDtypeStruct((b, h, dk, d), jnp.float32)
-    dpd = jax.ShapeDtypeStruct((b, h, dk, half), jnp.float32)
-    # (b, h, 1, dk): see the bias-grad note in _block_bwd_kernel
-    dcd = jax.ShapeDtypeStruct((b, h, 1, dk), jnp.float32)
-    dw_spec = pl.BlockSpec((1, hpp, dk, d), lambda i, j: (i, j, 0, 0),
+    dxd = jax.ShapeDtypeStruct((n_g, b, tp, d), x.dtype)
+    dwd = jax.ShapeDtypeStruct((h, dk, d), jnp.float32)
+    dpd = jax.ShapeDtypeStruct((h, dk, half), jnp.float32)
+    # (h, 1, dk): see the bias-grad note in _block_bwd_kernel
+    dcd = jax.ShapeDtypeStruct((h, 1, dk), jnp.float32)
+    dw_spec = pl.BlockSpec((hpp, dk, d), lambda j, i: (j, 0, 0),
                            memory_space=pltpu.VMEM)
-    dp_spec = pl.BlockSpec((1, hpp, dk, half), lambda i, j: (i, j, 0, 0),
+    dp_spec = pl.BlockSpec((hpp, dk, half), lambda j, i: (j, 0, 0),
                            memory_space=pltpu.VMEM)
-    dc_spec = pl.BlockSpec((1, hpp, 1, dk), lambda i, j: (i, j, 0, 0),
+    dc_spec = pl.BlockSpec((hpp, 1, dk), lambda j, i: (j, 0, 0),
                            memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
-        grid=(b, n_g),
+        grid=(n_g, b),
         in_specs=[
-            pl.BlockSpec((b, h), lambda i, j: (0, 0),
+            pl.BlockSpec((b, h), lambda j, i: (0, 0),
                          memory_space=pltpu.SMEM),
             x_spec, w_spec, w_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
             p_spec, p_spec, t_spec, t_spec, tt_spec, tt_spec,
-            pl.BlockSpec((1, 1, 1, tp), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, tp), lambda j, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             o_spec, g_spec,
         ],
-        out_specs=(pl.BlockSpec((1, tp, d), lambda i, j: (i, 0, 0),
+        out_specs=(pl.BlockSpec((1, 1, tp, d), lambda j, i: (j, i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    dw_spec, dw_spec, dw_spec, dw_spec, dp_spec, dp_spec,
                    dc_spec, dc_spec, dc_spec, dc_spec),
@@ -1012,6 +1044,12 @@ def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
         interpret=interpret,
     )(seed_rows, x_p, wq, wk, wv, cu, cv, bk, bv, wev, wod,
       sin_p, cos_p, sint_p, cost_p, bias, wo, g_p)
+    dx_part = res[0]
+    if n_g == 1:
+        dx = dx_part[0]
+    else:
+        dx = dx_part.astype(jnp.float32).sum(axis=0).astype(x.dtype)
+    return (dx,) + tuple(res[1:])
 
 
 # partition factors for the block kernels ('b' batch, 'h' heads)
@@ -1025,8 +1063,12 @@ _BLK_ARGS = (_BLK_X, _BLK_W, _BLK_W, _BLK_W, _BLK_W, _BLK_W, _BLK_W,
 # partition lowering inserts the psum (factor_partitioned reduce_factors)
 _BLK_OUT = (("b", None, None),)
 _BLK_BWD_ARGS = _BLK_ARGS + (("b", None, None),)
-_BLK_BWD_OUTS = (("b", None, None),) + (("b", "h", None, None),) * 6 \
-    + (("b", "h", None, None),) * 4
+# dx keeps the batch factor and contracts heads; the weight/bias grads are
+# already batch-summed in the kernel (grid-sequential accumulation), so they
+# keep the head factor and contract batch — both contractions become psums
+# under sharding via reduce_factors=("h", "b")
+_BLK_BWD_OUTS = (("b", None, None),) + (("h", None, None),) * 6 \
+    + (("h", None, None),) * 4
 
 
 @functools.lru_cache(maxsize=None)
@@ -1071,7 +1113,7 @@ def _block_bwd_partitioned(att_context_size, dropout_rate, interpret):
                                  att_context_size, dropout_rate, interpret)
 
     return factor_partitioned(fun, _BLK_BWD_ARGS, _BLK_BWD_OUTS,
-                              tuple_out=True, reduce_factors=("h",))
+                              tuple_out=True, reduce_factors=("h", "b"))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
@@ -1101,20 +1143,21 @@ def _block_core_bwd(att_context_size, dropout_rate, interpret, res, g):
                                      interpret)(
         x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
         key_bias, seed_rows, g)
-    # per-batch partials -> weight grads (psum over 'b' under GSPMD);
-    # kernel emits dW as (h, dk, D) — transpose to the (h, D, dk) operands
-    wgrad = lambda p: jnp.transpose(jnp.sum(p, axis=0), (0, 2, 1))
-    # dc partials are (b, h, 1, dk) -> (h, dk, 1) bias operands
-    cgrad = lambda p: jnp.transpose(jnp.sum(p, axis=0), (0, 2, 1))
+    # weight grads arrive batch-summed from the kernel (grid-sequential
+    # accumulation; psum over 'b' under GSPMD). The kernel emits dW as
+    # (h, dk, D) — transpose to the (h, D, dk) operands
+    wgrad = lambda p: jnp.transpose(p, (0, 2, 1))
+    # dc grads are (h, 1, dk) -> (h, dk, 1) bias operands
+    cgrad = lambda p: jnp.transpose(p, (0, 2, 1))
     t = x.shape[1]
     dx_sum = dx[:, :t].astype(x.dtype)
     return (dx_sum, wgrad(dwq_b).astype(wq.dtype),
             wgrad(dwk_b).astype(wk.dtype), wgrad(dwv_b).astype(wv.dtype),
             cgrad(dcu_b).astype(cu.dtype), cgrad(dcv_b).astype(cv.dtype),
             cgrad(dbk_b).astype(bk.dtype), cgrad(dbv_b).astype(bv.dtype),
-            jnp.sum(dwev_b, axis=0).astype(wev.dtype),
-            jnp.sum(dwod_b, axis=0).astype(wod.dtype),
-            jnp.sum(dwo_b, axis=0).astype(wo.dtype),
+            dwev_b.astype(wev.dtype),
+            dwod_b.astype(wod.dtype),
+            dwo_b.astype(wo.dtype),
             jnp.zeros_like(sin_t), jnp.zeros_like(cos_t),
             jnp.zeros_like(key_bias),
             np.zeros(seed_rows.shape, jax.dtypes.float0))
