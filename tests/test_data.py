@@ -476,3 +476,42 @@ def test_dataloader_bucketing_batch_size(tmp_path):
         list(make_dataloader(
             ds, DataConfig(batch_size=4, num_buckets=2, max_duration=2.0,
                            bucketing_batch_size=[1, 2, 3], shuffle=False)))
+
+
+def test_decode_cache_roundtrip(tmp_path):
+    """decode_cache_dir: first access decodes + writes <sha1>.npy; the
+    second (fresh dataset instance) serves the identical waveform from the
+    cache without touching the audio file."""
+    import os
+
+    from tpu_asr.data.tokenizer import train_bpe
+
+    rng = np.random.default_rng(3)
+    sig = (rng.normal(size=8000) * 0.1).astype(np.float32)
+    p = tmp_path / "u.wav"
+    write_wav(p, sig, 16000)
+    man = tmp_path / "m.jsonl"
+    write_manifest(man, [ManifestEntry(str(p), 0.5, "hello cache")])
+    tok = train_bpe(["hello cache"] * 3, vocab_size=32)
+    cache = tmp_path / "cache"
+
+    ds = AudioToBPEDataset(str(man), tok, 16000, 0.1, 2.0,
+                           decode_cache_dir=str(cache))
+    first = np.asarray(ds[0].signal)
+    cached_files = list(cache.glob("*.npy"))
+    assert len(cached_files) == 1
+
+    os.remove(p)   # prove the second pass never decodes the source
+    ds2 = AudioToBPEDataset(str(man), tok, 16000, 0.1, 2.0,
+                            decode_cache_dir=str(cache))
+    second = np.asarray(ds2[0].signal)
+    np.testing.assert_array_equal(first, second)
+
+    # uncached dataset on the removed file must fail -> cache did the work
+    ds3 = AudioToBPEDataset(str(man), tok, 16000, 0.1, 2.0)
+    try:
+        ds3[0]
+        raised = False
+    except Exception:
+        raised = True
+    assert raised

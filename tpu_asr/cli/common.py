@@ -71,6 +71,8 @@ def add_common_data_args(p: argparse.ArgumentParser):
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--data_sample_rate", type=int, default=16000)
+    p.add_argument("--decode_cache_dir", type=str, default=None,
+                   help="decoded-audio disk cache dir: repeated eval passes skip the host decode (data/dataset.py)")
     p.add_argument("--data_script_path", type=str, default="./librispeech_asr.py")
     p.add_argument("--data_config_name", type=str, default="train_100")
     p.add_argument("--data_train_split", type=str, default="train.clean.100")
@@ -393,7 +395,8 @@ def run_training(args, corpus: str = "librispeech",
     model = DistilCTCModel(student_cfg, teacher_cfg, distill)
 
     ds_cfg = dict(sample_rate=args.data_sample_rate,
-                  batch_size=args.batch_size)
+                  batch_size=args.batch_size,
+                  decode_cache_dir=args.decode_cache_dir)
     cfg = TrainConfig(
         model=student_cfg, distillation=distill,
         optim=OptimConfig(d_model=student_cfg.encoder.d_model),
@@ -482,7 +485,8 @@ def run_inference(args, diffm_version: Optional[int] = None) -> Dict[str, Dict]:
     model = DistilCTCModel(student_cfg, teacher_cfg, distill)
 
     ds_cfg = dict(sample_rate=args.data_sample_rate,
-                  batch_size=args.batch_size)
+                  batch_size=args.batch_size,
+                  decode_cache_dir=args.decode_cache_dir)
     cfg = TrainConfig(model=student_cfg, distillation=distill,
                       optim=OptimConfig(d_model=student_cfg.encoder.d_model),
                       test_ds=DataConfig(shuffle=False, **ds_cfg),

@@ -357,6 +357,9 @@ class DataConfig:
     # batches, ~constant audio-seconds per batch). None = flat batch_size.
     bucketing_batch_size: Optional[Any] = None
     seed: int = 42
+    # decoded-audio disk cache dir (data/dataset.py): repeated passes skip
+    # the host mp3/flac/wav decode — the 1-core eval mitigation
+    decode_cache_dir: Optional[str] = None
 
 
 @dataclass

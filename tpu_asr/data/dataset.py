@@ -40,15 +40,28 @@ class Sample:
 
 
 class AudioToBPEDataset:
-    """Manifest-backed dataset with on-demand host decode + tokenize."""
+    """Manifest-backed dataset with on-demand host decode + tokenize.
+
+    `decode_cache_dir` enables a decoded-audio disk cache: each utterance's
+    resampled float32 waveform is written once as `<sha1>.npy` and memory-
+    mapped on every later access. Repeated eval passes (the 4-split ×
+    N-checkpoint pattern of asr_inference.py) then skip the mp3/flac/wav
+    decode entirely — the mitigation for the single-core host decode floor
+    (ROADMAP: eval is host-dataloader-bound). Safe under concurrent workers
+    (atomic rename); ~64 KB/s-of-audio of disk."""
 
     def __init__(self, manifest_filepath: str,
                  tokenizer: SentencePieceBPETokenizer,
                  sample_rate: int = 16000,
                  min_duration: float = 0.1,
-                 max_duration: float = 16.7):
+                 max_duration: float = 16.7,
+                 decode_cache_dir: Optional[str] = None):
         self.tokenizer = tokenizer
         self.sample_rate = sample_rate
+        self.cache_dir = decode_cache_dir
+        if self.cache_dir:
+            import os
+            os.makedirs(self.cache_dir, exist_ok=True)
         entries = read_manifest(manifest_filepath)
         self.entries: List[ManifestEntry] = [
             e for e in entries
@@ -58,9 +71,34 @@ class AudioToBPEDataset:
     def __len__(self) -> int:
         return len(self.entries)
 
+    def _load_signal(self, e: ManifestEntry) -> np.ndarray:
+        if not self.cache_dir:
+            return load_audio(e.audio_filepath, self.sample_rate)
+        import hashlib
+        import os
+        key = hashlib.sha1(
+            f"{e.audio_filepath}:{self.sample_rate}".encode()).hexdigest()
+        path = os.path.join(self.cache_dir, key + ".npy")
+        if os.path.isfile(path):
+            try:
+                return np.load(path, mmap_mode="r")
+            except Exception:
+                pass                      # partial/corrupt -> re-decode
+        signal = load_audio(e.audio_filepath, self.sample_rate)
+        tmp = f"{path}.tmp{os.getpid()}"
+        try:
+            # via a file object: np.save(str) would APPEND .npy to the tmp
+            # name and the atomic rename source would not exist
+            with open(tmp, "wb") as f:
+                np.save(f, signal)
+            os.replace(tmp, path)
+        except OSError:                   # read-only/full disk: stay uncached
+            pass
+        return signal
+
     def __getitem__(self, i: int) -> Sample:
         e = self.entries[i]
-        signal = load_audio(e.audio_filepath, self.sample_rate)
+        signal = self._load_signal(e)
         tokens = np.asarray(self.tokenizer.text_to_ids(e.text), np.int32)
         return Sample(signal, tokens, e.text, e.duration)
 

@@ -308,11 +308,17 @@ class RelPositionMultiHeadAttention(nn.Module):
                 rate = self.dropout_rate
                 seed = jax.random.randint(self.make_rng("dropout"), (1,),
                                           0, jnp.iinfo(jnp.int32).max)
+            # TPU_ASR_PALLAS_INTERPRET=1 runs the Mosaic kernel through the
+            # Pallas interpreter so the IN-MODEL pallas path executes on the
+            # CPU stand-in too (multichip dryrun gate, __graft_entry__.py).
+            # Read at trace time, like attention_backend itself.
+            import os
             out = fused_relpos_attention_block(
                 x.astype(self.dtype), wq_k, bq_b, wk_k, bk_b, wv_k, bv_b,
                 bias_u, bias_v, w_pos.reshape(d, h, dk), wo_k, mask,
                 n_heads=h, att_context_size=self.att_context_size,
-                dropout_rate=rate, dropout_seed=seed, seg_id=seg_id)
+                dropout_rate=rate, dropout_seed=seed, seg_id=seg_id,
+                interpret=os.environ.get("TPU_ASR_PALLAS_INTERPRET") == "1")
             return (out + bo_b.astype(self.dtype)).astype(self.dtype)
 
         proj = lambda z, w, bb: (z.astype(self.dtype) @ w.astype(self.dtype)

@@ -200,14 +200,34 @@ class DistilCTCModel(nn.Module):
         the encoder's final re-mask, so decode_logits reproduces the padded-
         frame log-probs too). Only valid when the teacher's sole consumers
         are logit KD and/or last-scope layerwise KD."""
+        # ----- student encode -----
+        encoded, encoded_len, stu_feats = self.student.encode(
+            input_signal, input_signal_length, train=train)
+        return self.forward_with_student_encode(
+            encoded, encoded_len, stu_feats, input_signal,
+            input_signal_length, transcripts, transcript_lengths,
+            train=train, tch_last_feat=tch_last_feat)
+
+    def forward_with_student_encode(
+        self,
+        encoded: jnp.ndarray,               # (B, T', D) student encoder out
+        encoded_len: jnp.ndarray,           # (B,)
+        stu_feats: jnp.ndarray,             # (L, B, T', D) per-layer feats
+        input_signal: jnp.ndarray,          # (B, L) waveform (teacher input)
+        input_signal_length: jnp.ndarray,
+        transcripts: Optional[jnp.ndarray] = None,
+        transcript_lengths: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        tch_last_feat: Optional[jnp.ndarray] = None,
+    ) -> DistilOutput:
+        """Everything after the student encode: teacher forward + every KD
+        loss + decode. Split out so alternative student-encode executions
+        (the GPipe pipeline, parallel/pipeline.py) reuse the loss semantics
+        verbatim."""
         d = self.distill
         losses: Dict[str, jnp.ndarray] = {}
         metrics: Dict[str, jnp.ndarray] = {}
         zero = jnp.zeros((), jnp.float32)
-
-        # ----- student encode -----
-        encoded, encoded_len, stu_feats = self.student.encode(
-            input_signal, input_signal_length, train=train)
 
         # ----- teacher encode (frozen, eval mode, stop-gradient) -----
         # In eval only the FM path needs the teacher (router input); the KD

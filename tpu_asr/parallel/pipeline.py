@@ -67,16 +67,18 @@ class _LayerStack(nn.Module):
     dtype: Any
     n_layers: int
     train: bool = False
+    collect: bool = False   # also return the (n_layers, ...) feature stack
 
     @nn.compact
     def __call__(self, x, pos_emb, mask):
         from tpu_asr.models.conformer import ConformerLayer
 
         layer = ConformerLayer(self.cfg, self.dtype, name="layers")
+        collect = self.collect
 
         def body(mod, carry, _):
             y = mod(carry, pos_emb, mask, train=self.train)
-            return y, None
+            return y, (y if collect else None)
 
         scanned = nn.scan(
             body,
@@ -84,8 +86,8 @@ class _LayerStack(nn.Module):
             split_rngs={"params": True, "dropout": True, "layerdrop": True},
             length=self.n_layers,
         )
-        y, _ = scanned(layer, x, None)
-        return y
+        y, feats = scanned(layer, x, None)
+        return (y, feats) if collect else y
 
 
 def pipeline_layer_stack(apply_stage, stage_variables, x_micro, mask_micro,
@@ -142,6 +144,58 @@ def pipeline_layer_stack(apply_stage, stage_variables, x_micro, mask_micro,
     fn = jax.shard_map(
         stage_fn, mesh=mesh, axis_names={pipe_axis},
         in_specs=(var_specs, P(), P()), out_specs=P(), check_vma=False)
+    return fn(stage_variables, x_micro, mask_micro)
+
+
+def pipeline_layer_stack_feats(apply_stage, stage_variables, x_micro,
+                               mask_micro, mesh: Mesh, n_local: int,
+                               pipe_axis: str = "pipe"):
+    """Feature-collecting variant of `pipeline_layer_stack` for the KD
+    pipeline: `apply_stage(vars, x, m) -> (y, feats)` with `feats`
+    (n_local, mb, T, D) = this stage's per-layer outputs. Each stage writes
+    its layers' features for microbatch m at the tick it processes it; the
+    per-stage buffers concatenate over `pipe_axis` into the full
+    (M, L, mb, T, D) stack (stage-major == layer order). The global encoder
+    output is the stack's last layer, so no separate output psum is needed.
+    """
+    n_stages = mesh.shape[pipe_axis]
+    n_micro = x_micro.shape[0]
+
+    def stage_fn(variables, xm, mm):
+        s = jax.lax.axis_index(pipe_axis)
+
+        def tick(carry, step):
+            x_c, m_c, fbuf = carry
+            idx = jnp.clip(step, 0, n_micro - 1)
+            inj = jax.lax.dynamic_index_in_dim(xm, idx, 0, keepdims=False)
+            inj_m = jax.lax.dynamic_index_in_dim(mm, idx, 0, keepdims=False)
+            x_in = jnp.where(s == 0, inj, x_c)
+            m_in = jnp.where(s == 0, inj_m, m_c)
+            y, feats = apply_stage(variables, x_in, m_in)
+            perm = [(i, i + 1) for i in range(n_stages - 1)]
+            x_n = jax.lax.ppermute(y, pipe_axis, perm)
+            m_n = jax.lax.ppermute(m_in.astype(jnp.int8), pipe_axis,
+                                   perm).astype(bool)
+            # stage s processes microbatch (step - s) at this tick
+            mi = step - s
+            fi = jnp.clip(mi, 0, n_micro - 1)
+            write = (mi >= 0) & (mi < n_micro)
+            prev = jax.lax.dynamic_index_in_dim(fbuf, fi, 0, keepdims=False)
+            fbuf = jax.lax.dynamic_update_index_in_dim(
+                fbuf, jnp.where(write, feats, prev), fi, 0)
+            return (x_n, m_n, fbuf), None
+
+        fbuf0 = jnp.zeros((n_micro, n_local) + xm.shape[1:], xm.dtype)
+        carry0 = (jnp.zeros_like(xm[0]), mm[0], fbuf0)
+        (_, _, fbuf), _ = jax.lax.scan(
+            tick, carry0, jnp.arange(n_micro + n_stages - 1))
+        return fbuf
+
+    var_specs = jax.tree.map(lambda _: P(pipe_axis), stage_variables)
+    fn = jax.shard_map(
+        stage_fn, mesh=mesh, axis_names={pipe_axis},
+        in_specs=(var_specs, P(), P()),
+        out_specs=P(None, pipe_axis), check_vma=False)
     return fn(stage_variables, x_micro, mask_micro)
 
 
@@ -215,6 +269,91 @@ def encode_pipelined(model, variables, features, lengths, mesh: Mesh,
     y_micro = pipeline_layer_stack(apply_stage, stage_vars, x_micro,
                                    mask_micro, mesh)
     return y_micro.reshape(b, t, d), out_len
+
+
+def encode_pipelined_feats(model, variables, features, lengths, mesh: Mesh,
+                           n_micro: int, train: bool = False):
+    """`encode_pipelined` variant that ALSO returns the full per-layer
+    feature stack (L, B, T', D) — the KD losses' input. Same parity
+    contract; the encoder output is the stack's last layer."""
+    from tpu_asr.models.conformer import rel_positional_encoding
+    from tpu_asr.models.ctc_model import CTCModel
+
+    cfg = model.cfg.encoder
+    _check_cfg(cfg, train)
+    n_stages = mesh.shape["pipe"]
+    if cfg.n_layers % n_stages:
+        raise ValueError(f"n_layers={cfg.n_layers} not divisible by "
+                         f"pipe={n_stages}")
+    dtype = jnp.dtype(model.cfg.compute_dtype)
+
+    x, out_len = model.apply(variables, features, lengths,
+                             method=CTCModel.pre_encode)
+    b, t, d = x.shape
+    if b % n_micro:
+        raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")
+    if cfg.xscaling:
+        x = x * math.sqrt(cfg.d_model)
+    pos_emb = rel_positional_encoding(t, cfg.d_model, dtype)
+    mask = jnp.arange(t)[None, :] < out_len[:, None]
+    x = jnp.where(mask[..., None], x, 0.0)
+
+    mb = b // n_micro
+    x_micro = x.reshape(n_micro, mb, t, d)
+    mask_micro = mask.reshape(n_micro, mb, t)
+
+    n_local = cfg.n_layers // n_stages
+    stack = _LayerStack(cfg, dtype, n_local, train=train, collect=True)
+    enc_vars = variables["params"]["encoder"]
+    stage_vars = {"params": {"layers": enc_vars["layers"]}}
+    if "batch_stats" in variables and "encoder" in variables["batch_stats"]:
+        bs = variables["batch_stats"]["encoder"]
+        if "layers" in bs:
+            stage_vars["batch_stats"] = {"layers": bs["layers"]}
+
+    def apply_stage(vs, xs, ms):
+        return stack.apply(vs, xs, pos_emb, ms)
+
+    f_micro = pipeline_layer_stack_feats(apply_stage, stage_vars, x_micro,
+                                         mask_micro, mesh, n_local)
+    # (M, L, mb, T, D) -> (L, B, T, D); microbatch m holds rows m*mb..+mb
+    n_l = cfg.n_layers
+    layer_feats = jnp.transpose(f_micro, (1, 0, 2, 3, 4)).reshape(
+        n_l, b, t, d)
+    return layer_feats[-1], out_len, layer_feats
+
+
+def distil_forward_pipelined(model, variables, signal, signal_len,
+                             transcripts, transcript_lengths, mesh: Mesh,
+                             n_micro: int, rngs=None, train: bool = True):
+    """Full `DistilCTCModel` KD forward with the STUDENT encoder stack
+    pipelined over the mesh's 'pipe' axis — the reference's DDP KD training
+    step (asr_train.py:1708-1715) at pipeline scale, TPU-natively: the
+    frozen teacher forward, every KD loss (flow matching + router, logit
+    KL, layerwise MSE, DiffKD, diffm) and the CTC head all run in GSPMD
+    auto mode (batch over 'data') on the student's pipelined per-layer
+    features, reusing `forward_with_student_encode` verbatim.
+
+    Deterministic-compute contract like the CTC pipeline (dropout 0,
+    layer_norm conv): featurization runs eval-mode (no dither/specaug).
+    Returns DistilOutput."""
+    from tpu_asr.models.ctc_model import CTCModel
+    from tpu_asr.models.distil_model import DistilCTCModel
+    from tpu_asr.ops.features import FilterbankFeatures
+
+    stu_model = CTCModel(model.student_cfg)
+    stu_vars = {"params": variables["params"]["student"]}
+    if "batch_stats" in variables and "student" in variables["batch_stats"]:
+        stu_vars["batch_stats"] = variables["batch_stats"]["student"]
+    feat = FilterbankFeatures(model.student_cfg.preprocessor)
+    feats, feat_len = feat(signal, signal_len, train=False, rng=None)
+    encoded, out_len, stu_feats = encode_pipelined_feats(
+        stu_model, stu_vars, feats, feat_len, mesh, n_micro, train=train)
+    return model.apply(
+        variables, encoded, out_len, stu_feats, signal, signal_len,
+        transcripts, transcript_lengths, train=train,
+        method=DistilCTCModel.forward_with_student_encode,
+        rngs=rngs or {})
 
 
 def ctc_forward_pipelined(model, variables, signal, signal_len, mesh: Mesh,

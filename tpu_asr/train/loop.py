@@ -200,7 +200,8 @@ class Trainer:
         cfg = self.cfg
         dataset = AudioToBPEDataset(
             train_manifest, self.tokenizer, cfg.train_ds.sample_rate,
-            cfg.train_ds.min_duration, cfg.train_ds.max_duration)
+            cfg.train_ds.min_duration, cfg.train_ds.max_duration,
+            decode_cache_dir=cfg.train_ds.decode_cache_dir)
         if len(dataset) == 0:
             raise ValueError(f"empty training dataset: {train_manifest}")
 
@@ -330,7 +331,8 @@ class Trainer:
         assert self.state is not None
         dataset = AudioToBPEDataset(
             manifest, self.tokenizer, cfg.test_ds.sample_rate,
-            cfg.test_ds.min_duration, cfg.test_ds.max_duration)
+            cfg.test_ds.min_duration, cfg.test_ds.max_duration,
+            decode_cache_dir=cfg.test_ds.decode_cache_dir)
         wer = WERMetric()
         nll_contrib = 0.0      # per-sample loss contributions, real rows only
         tok_sum = 0.0
@@ -465,7 +467,8 @@ class Trainer:
         # the chunk, not the split.
         dataset = AudioToBPEDataset(
             manifest, self.tokenizer, cfg.test_ds.sample_rate,
-            cfg.test_ds.min_duration, cfg.test_ds.max_duration)
+            cfg.test_ds.min_duration, cfg.test_ds.max_duration,
+            decode_cache_dir=cfg.test_ds.decode_cache_dir)
         wer = WERMetric()
         agg = {"nll": 0.0, "tok": 0.0, "n": 0, "logged": 0}
         reduction = self.model.student_cfg.ctc_reduction
