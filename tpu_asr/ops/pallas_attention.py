@@ -645,45 +645,49 @@ def _block_scores(x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref,
 def _block_fwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
                       cv_ref, bk_ref, bv_ref, wev_ref, wod_ref, sin_ref,
                       cos_ref, sint_ref, cost_ref, bias_ref, wo_ref, *rest,
-                      t, dk_real, left, right, hpp, rate, with_seg=False,
-                      interpret=False):
+                      t, dk_real, left, right, hpp, bpp, rate,
+                      with_seg=False, interpret=False):
     if with_seg:
         segq_ref, segk_ref, o_ref = rest
-        seg = (segq_ref[0], segk_ref[0])
     else:
         (o_ref,) = rest
-        seg = None
-    x16 = x_ref[0].astype(jnp.bfloat16)                # (T, D)
-    attn, _, _, _, vt = _block_scores(
-        x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref, bv_ref,
-        wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref, bias_ref[0],
-        t=t, dk_real=dk_real, left=left, right=right, seg=seg)
-    if rate > 0.0:
-        seed_base = seed_ref[pl.program_id(1), pl.program_id(0) * hpp]
-        keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
-        attn = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
-
-    # ctx[h,t,d] = sum_s attn[h,t,s] v[h,d,s]
-    a16 = attn.astype(jnp.bfloat16)
-    v16 = vt.astype(jnp.bfloat16)
-    adn = (((2,), (2,)), ((0,), (0,)))
-    ctx = jax.lax.dot_general(a16, v16, adn,
-                              preferred_element_type=jnp.float32)
-    # per-head output projection, accumulated over this program's heads
-    ctx16 = ctx.astype(jnp.bfloat16)
     wo16 = wo_ref[:].astype(jnp.bfloat16)              # (hpp, dk, D)
-    mdn = (((1,), (0,)), ((), ()))
-    out = jax.lax.dot_general(ctx16[0], wo16[0], mdn,
-                              preferred_element_type=jnp.float32)
-    for l in range(1, hpp):
-        out = out + jax.lax.dot_general(ctx16[l], wo16[l], mdn,
-                                        preferred_element_type=jnp.float32)
-    # grid is (head_groups, batch) with batch INNERMOST: the weight blocks
-    # (index map on dim 0 only) stay VMEM-resident across the whole batch
-    # sweep instead of being refetched per program. Each program writes its
-    # head group's (T, D) output-projection partial; the caller sums over
-    # the (usually 1) head-group axis.
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    # bpp batch rows per program (static unroll): identical math per row,
+    # amortizes the per-program fixed cost that bounds the small models
+    for r in range(bpp):
+        seg = (segq_ref[r], segk_ref[r]) if with_seg else None
+        x16 = x_ref[r].astype(jnp.bfloat16)            # (T, D)
+        attn, _, _, _, vt = _block_scores(
+            x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref, bv_ref,
+            wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref,
+            bias_ref[r], t=t, dk_real=dk_real, left=left, right=right,
+            seg=seg)
+        if rate > 0.0:
+            seed_base = seed_ref[pl.program_id(1) * bpp + r,
+                                 pl.program_id(0) * hpp]
+            keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
+            attn = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
+
+        # ctx[h,t,d] = sum_s attn[h,t,s] v[h,d,s]
+        a16 = attn.astype(jnp.bfloat16)
+        v16 = vt.astype(jnp.bfloat16)
+        adn = (((2,), (2,)), ((0,), (0,)))
+        ctx = jax.lax.dot_general(a16, v16, adn,
+                                  preferred_element_type=jnp.float32)
+        # per-head output projection, accumulated over this program's heads
+        ctx16 = ctx.astype(jnp.bfloat16)
+        mdn = (((1,), (0,)), ((), ()))
+        out = jax.lax.dot_general(ctx16[0], wo16[0], mdn,
+                                  preferred_element_type=jnp.float32)
+        for l in range(1, hpp):
+            out = out + jax.lax.dot_general(ctx16[l], wo16[l], mdn,
+                                            preferred_element_type=jnp.float32)
+        # grid is (head_groups, batch) with batch INNERMOST: the weight
+        # blocks (index map on dim 0 only) stay VMEM-resident across the
+        # whole batch sweep instead of being refetched per program. Each
+        # program writes its head group's (T, D) output-projection partials;
+        # the caller sums over the (usually 1) head-group axis.
+        o_ref[0, r] = out.astype(o_ref.dtype)
 
 
 def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
@@ -691,7 +695,7 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
                       cos_ref, sint_ref, cost_ref, bias_ref, wo_ref, g_ref,
                       dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dwev_ref,
                       dwod_ref, dcu_ref, dcv_ref, dbk_ref, dbv_ref,
-                      *, t, dk_real, left, right, hpp, rate,
+                      *, t, dk_real, left, right, hpp, bpp, rate,
                       interpret=False):
     """Flash-style backward: recompute projections + attention in VMEM.
     Grid is (head_groups, batch) with batch INNERMOST: weight/bias grads
@@ -699,151 +703,157 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
     sweep (block index constant over the inner dim — grid-sequential
     accumulation), so only the final (h, dk, ·) sums ever reach HBM instead
     of per-(batch, head) partials (~168 MB/layer at conformer-LARGE). dx is
-    emitted as a per-head-group partial, summed by the caller."""
-    x16 = x_ref[0].astype(jnp.bfloat16)
-    g16 = g_ref[0].astype(jnp.bfloat16)                # (T, D)
-    attn, qt, q_vt, kt, vt = _block_scores(
-        x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref, bv_ref,
-        wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref, bias_ref[0],
-        t=t, dk_real=dk_real, left=left, right=right)
-    if rate > 0.0:
-        seed_base = seed_ref[pl.program_id(1), pl.program_id(0) * hpp]
-        keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
-        attn_d = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
-    else:
-        attn_d = attn
-
-    qu16, qv16, k16, v16 = (z.astype(jnp.bfloat16)
-                            for z in (qt, q_vt, kt, vt))
-    a16 = attn_d.astype(jnp.bfloat16)
+    emitted as a per-head-group partial, summed by the caller. `bpp` batch
+    rows run per program (static unroll, grads summed across rows) to
+    amortize the per-program fixed cost that bounds the small models."""
     wo16 = wo_ref[:].astype(jnp.bfloat16)              # (hpp, dk, D)
-
-    # recompute ctx for the dWo partial: ctx[h,t,d] = sum_s attn[h,t,s] v[h,d,s]
-    adn = (((2,), (2,)), ((0,), (0,)))
-    ctx = jax.lax.dot_general(a16, v16, adn,
-                              preferred_element_type=jnp.float32)
-    ctx16 = ctx.astype(jnp.bfloat16)
-    # dWo[h,dk,D] = sum_t ctx[h,t,dk] g[t,D]
-    gdn = (((1,), (0,)), ((), ()))           # (h,T,dk) x (T,D) -> (h,dk,D)
-    dwo_val = jax.lax.dot_general(ctx16, g16, gdn,
-                                  preferred_element_type=jnp.float32)
-    # d_ctx, transposed: (h, dk, T) = (h,dk,D) x (T,D) contracting D
-    ddn = (((2,), (1,)), ((), ()))
-    dctx_t = jax.lax.dot_general(wo16, g16, ddn,
-                                 preferred_element_type=jnp.float32)
-    dct16 = dctx_t.astype(jnp.bfloat16)
-
-    # dattn[h,t,s] = sum_dk dctx_t[h,dk,t] v[h,dk,s]
-    cdn = (((1,), (1,)), ((0,), (0,)))
-    dattn = jax.lax.dot_general(dct16, v16, cdn,
-                                preferred_element_type=jnp.float32)
-    # NOTE: dattn comes out as (h, T, S) with the T axis from dctx_t's lanes
-    if rate > 0.0:
-        dattn = jnp.where(keep, dattn * (1.0 / (1.0 - rate)), 0.0)
-    ds = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
-    ds = ds * (1.0 / math.sqrt(dk_real))
-    ds16 = ds.astype(jnp.bfloat16)
-
-    # dv[h,s,dk] = sum_t attn_d[h,t,s] dctx_t[h,dk,t]
-    tdn = (((1,), (2,)), ((0,), (0,)))
-    dvs = jax.lax.dot_general(a16, dct16, tdn,
-                              preferred_element_type=jnp.float32)
-    # dqu[h,t,dk] = sum_s ds[h,t,s] kT[h,dk,s]
-    sdn = (((2,), (2,)), ((0,), (0,)))
-    dqu = jax.lax.dot_general(ds16, k16, sdn,
-                              preferred_element_type=jnp.float32)
-    # dkT via (h,S,dk): dk_[h,s,dk] = sum_t ds[h,t,s] q_uT[h,dk,t]
-    kdn = (((1,), (2,)), ((0,), (0,)))
-    dk_s = jax.lax.dot_general(ds16, qu16, kdn,
-                               preferred_element_type=jnp.float32)
-
-    # position chain (transposed tables): da/db (h, T, Dh)
-    pdn2 = (((2,), (0,)), ((), ()))          # (h,T,S) x (S,Dh) -> (h,T,Dh)
-    cos16 = cos_ref[:].astype(jnp.bfloat16)
-    sin16 = sin_ref[:].astype(jnp.bfloat16)
-    da = jax.lax.dot_general(ds16, cos16, pdn2,
-                             preferred_element_type=jnp.float32)
-    db = jax.lax.dot_general(ds16, sin16, pdn2,
-                             preferred_element_type=jnp.float32)
-    sin_r = sin_ref[:].astype(jnp.float32)   # (T, Dh) bf16 table, row t
-    cos_r = cos_ref[:].astype(jnp.float32)
-    du = (da * sin_r[None] - db * cos_r[None]).astype(jnp.bfloat16)
-    dw = (da * cos_r[None] + db * sin_r[None]).astype(jnp.bfloat16)
-    # dqv[h,t,dk] = sum_j du[h,t,j] wev[h,dk,j] (+ wod term)
-    qdn = (((2,), (2,)), ((0,), (0,)))
     wev16 = wev_ref[:].astype(jnp.bfloat16)
     wod16 = wod_ref[:].astype(jnp.bfloat16)
-    dqv = jax.lax.dot_general(du, wev16, qdn,
-                              preferred_element_type=jnp.float32)
-    dqv = dqv + jax.lax.dot_general(dw, wod16, qdn,
-                                    preferred_element_type=jnp.float32)
-    # dWev[h,dk,j] = sum_t q_vT[h,dk,t] du[h,t,j]
-    vdn = (((2,), (1,)), ((0,), (0,)))
-    dwev_val = jax.lax.dot_general(qv16, du, vdn,
-                                   preferred_element_type=jnp.float32)
-    dwod_val = jax.lax.dot_general(qv16, dw, vdn,
-                                   preferred_element_type=jnp.float32)
-
-    dq = dqu + dqv                                     # (h, T, dk)
-    dq16 = dq.astype(jnp.bfloat16)
-    dks16 = dk_s.astype(jnp.bfloat16)
-    dvs16 = dvs.astype(jnp.bfloat16)
-
-    # dx = sum_h dq_h Wq_h^T + dk_h Wk_h^T + dv_h Wv_h^T   (T, D)
     wq16 = wq_ref[:].astype(jnp.bfloat16)              # (h, D, dk)
     wk16 = wk_ref[:].astype(jnp.bfloat16)
     wv16 = wv_ref[:].astype(jnp.bfloat16)
-    xdn = (((1,), (1,)), ((), ()))           # (T,dk) x (D,dk) -> (T,D)
-    dx = jax.lax.dot_general(dq16[0], wq16[0], xdn,
-                             preferred_element_type=jnp.float32)
-    dx = dx + jax.lax.dot_general(dks16[0], wk16[0], xdn,
-                                  preferred_element_type=jnp.float32)
-    dx = dx + jax.lax.dot_general(dvs16[0], wv16[0], xdn,
-                                  preferred_element_type=jnp.float32)
-    for l in range(1, hpp):
-        dx = dx + jax.lax.dot_general(dq16[l], wq16[l], xdn,
-                                      preferred_element_type=jnp.float32)
-        dx = dx + jax.lax.dot_general(dks16[l], wk16[l], xdn,
-                                      preferred_element_type=jnp.float32)
-        dx = dx + jax.lax.dot_general(dvs16[l], wv16[l], xdn,
-                                      preferred_element_type=jnp.float32)
-    dx_ref[0, 0] = dx.astype(dx_ref.dtype)
+    tot = None
+    for r in range(bpp):
+        x16 = x_ref[r].astype(jnp.bfloat16)
+        g16 = g_ref[r].astype(jnp.bfloat16)            # (T, D)
+        attn, qt, q_vt, kt, vt = _block_scores(
+            x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref, bv_ref,
+            wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref,
+            bias_ref[r], t=t, dk_real=dk_real, left=left, right=right)
+        if rate > 0.0:
+            seed_base = seed_ref[pl.program_id(1) * bpp + r,
+                                 pl.program_id(0) * hpp]
+            keep = _dropout_keep(seed_base, hpp, (t, t), rate, interpret)
+            attn_d = jnp.where(keep, attn * (1.0 / (1.0 - rate)), 0.0)
+        else:
+            attn_d = attn
 
-    # weight grads: dWq[h,dk,D] = sum_t dq[h,t,dk] x[t,D]
-    wgd = (((1,), (0,)), ((), ()))           # (h,T,dk) x (T,D) -> (h,dk,D)
-    dwq_val = jax.lax.dot_general(dq16, x16, wgd,
+        qu16, qv16, k16, v16 = (z.astype(jnp.bfloat16)
+                                for z in (qt, q_vt, kt, vt))
+        a16 = attn_d.astype(jnp.bfloat16)
+
+        # recompute ctx for the dWo grad: ctx[h,t,d] = sum_s attn[h,t,s] v[h,d,s]
+        adn = (((2,), (2,)), ((0,), (0,)))
+        ctx = jax.lax.dot_general(a16, v16, adn,
                                   preferred_element_type=jnp.float32)
-    dwk_val = jax.lax.dot_general(dks16, x16, wgd,
+        ctx16 = ctx.astype(jnp.bfloat16)
+        # dWo[h,dk,D] = sum_t ctx[h,t,dk] g[t,D]
+        gdn = (((1,), (0,)), ((), ()))       # (h,T,dk) x (T,D) -> (h,dk,D)
+        dwo_val = jax.lax.dot_general(ctx16, g16, gdn,
+                                      preferred_element_type=jnp.float32)
+        # d_ctx, transposed: (h, dk, T) = (h,dk,D) x (T,D) contracting D
+        ddn = (((2,), (1,)), ((), ()))
+        dctx_t = jax.lax.dot_general(wo16, g16, ddn,
+                                     preferred_element_type=jnp.float32)
+        dct16 = dctx_t.astype(jnp.bfloat16)
+
+        # dattn[h,t,s] = sum_dk dctx_t[h,dk,t] v[h,dk,s]
+        cdn = (((1,), (1,)), ((0,), (0,)))
+        dattn = jax.lax.dot_general(dct16, v16, cdn,
+                                    preferred_element_type=jnp.float32)
+        # NOTE: dattn comes out as (h, T, S) with the T axis from dctx_t's lanes
+        if rate > 0.0:
+            dattn = jnp.where(keep, dattn * (1.0 / (1.0 - rate)), 0.0)
+        ds = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+        ds = ds * (1.0 / math.sqrt(dk_real))
+        ds16 = ds.astype(jnp.bfloat16)
+
+        # dv[h,s,dk] = sum_t attn_d[h,t,s] dctx_t[h,dk,t]
+        tdn = (((1,), (2,)), ((0,), (0,)))
+        dvs = jax.lax.dot_general(a16, dct16, tdn,
                                   preferred_element_type=jnp.float32)
-    dwv_val = jax.lax.dot_general(dvs16, x16, wgd,
+        # dqu[h,t,dk] = sum_s ds[h,t,s] kT[h,dk,s]
+        sdn = (((2,), (2,)), ((0,), (0,)))
+        dqu = jax.lax.dot_general(ds16, k16, sdn,
                                   preferred_element_type=jnp.float32)
-    # bias grads (summed over T; padded rows contribute 0 through the
-    # zero-padded g). Emitted as (hpp, 1, dk): the unit axis keeps hpp out
-    # of the block's last-two dims, which Mosaic requires to be
-    # 8/128-multiples or full — (hpp, dk) would be illegal when the VMEM
-    # budget picks hpp < h (e.g. d512/h8/dk64 training).
-    dcu_val = jnp.sum(dqu, axis=1, keepdims=True)
-    dcv_val = jnp.sum(dqv, axis=1, keepdims=True)
-    dbk_val = jnp.sum(dk_s, axis=1, keepdims=True)
-    dbv_val = jnp.sum(dvs, axis=1, keepdims=True)
+        # dkT via (h,S,dk): dk_[h,s,dk] = sum_t ds[h,t,s] q_uT[h,dk,t]
+        kdn = (((1,), (2,)), ((0,), (0,)))
+        dk_s = jax.lax.dot_general(ds16, qu16, kdn,
+                                   preferred_element_type=jnp.float32)
+
+        # position chain (transposed tables): da/db (h, T, Dh)
+        pdn2 = (((2,), (0,)), ((), ()))      # (h,T,S) x (S,Dh) -> (h,T,Dh)
+        cos16 = cos_ref[:].astype(jnp.bfloat16)
+        sin16 = sin_ref[:].astype(jnp.bfloat16)
+        da = jax.lax.dot_general(ds16, cos16, pdn2,
+                                 preferred_element_type=jnp.float32)
+        db = jax.lax.dot_general(ds16, sin16, pdn2,
+                                 preferred_element_type=jnp.float32)
+        sin_r = sin_ref[:].astype(jnp.float32)   # (T, Dh) bf16 table, row t
+        cos_r = cos_ref[:].astype(jnp.float32)
+        du = (da * sin_r[None] - db * cos_r[None]).astype(jnp.bfloat16)
+        dw = (da * cos_r[None] + db * sin_r[None]).astype(jnp.bfloat16)
+        # dqv[h,t,dk] = sum_j du[h,t,j] wev[h,dk,j] (+ wod term)
+        qdn = (((2,), (2,)), ((0,), (0,)))
+        dqv = jax.lax.dot_general(du, wev16, qdn,
+                                  preferred_element_type=jnp.float32)
+        dqv = dqv + jax.lax.dot_general(dw, wod16, qdn,
+                                        preferred_element_type=jnp.float32)
+        # dWev[h,dk,j] = sum_t q_vT[h,dk,t] du[h,t,j]
+        vdn = (((2,), (1,)), ((0,), (0,)))
+        dwev_val = jax.lax.dot_general(qv16, du, vdn,
+                                       preferred_element_type=jnp.float32)
+        dwod_val = jax.lax.dot_general(qv16, dw, vdn,
+                                       preferred_element_type=jnp.float32)
+
+        dq = dqu + dqv                                 # (h, T, dk)
+        dq16 = dq.astype(jnp.bfloat16)
+        dks16 = dk_s.astype(jnp.bfloat16)
+        dvs16 = dvs.astype(jnp.bfloat16)
+
+        # dx = sum_h dq_h Wq_h^T + dk_h Wk_h^T + dv_h Wv_h^T   (T, D)
+        xdn = (((1,), (1,)), ((), ()))       # (T,dk) x (D,dk) -> (T,D)
+        dx = jax.lax.dot_general(dq16[0], wq16[0], xdn,
+                                 preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(dks16[0], wk16[0], xdn,
+                                      preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(dvs16[0], wv16[0], xdn,
+                                      preferred_element_type=jnp.float32)
+        for l in range(1, hpp):
+            dx = dx + jax.lax.dot_general(dq16[l], wq16[l], xdn,
+                                          preferred_element_type=jnp.float32)
+            dx = dx + jax.lax.dot_general(dks16[l], wk16[l], xdn,
+                                          preferred_element_type=jnp.float32)
+            dx = dx + jax.lax.dot_general(dvs16[l], wv16[l], xdn,
+                                          preferred_element_type=jnp.float32)
+        dx_ref[0, r] = dx.astype(dx_ref.dtype)
+
+        # weight grads: dWq[h,dk,D] = sum_t dq[h,t,dk] x[t,D]
+        wgd = (((1,), (0,)), ((), ()))       # (h,T,dk) x (T,D) -> (h,dk,D)
+        dwq_val = jax.lax.dot_general(dq16, x16, wgd,
+                                      preferred_element_type=jnp.float32)
+        dwk_val = jax.lax.dot_general(dks16, x16, wgd,
+                                      preferred_element_type=jnp.float32)
+        dwv_val = jax.lax.dot_general(dvs16, x16, wgd,
+                                      preferred_element_type=jnp.float32)
+        # bias grads (summed over T; padded rows contribute 0 through the
+        # zero-padded g). Emitted as (hpp, 1, dk): the unit axis keeps hpp
+        # out of the block's last-two dims, which Mosaic requires to be
+        # 8/128-multiples or full — (hpp, dk) would be illegal when the VMEM
+        # budget picks hpp < h (e.g. d512/h8/dk64 training).
+        dcu_val = jnp.sum(dqu, axis=1, keepdims=True)
+        dcv_val = jnp.sum(dqv, axis=1, keepdims=True)
+        dbk_val = jnp.sum(dk_s, axis=1, keepdims=True)
+        dbv_val = jnp.sum(dvs, axis=1, keepdims=True)
+        vals = [dwq_val, dwk_val, dwv_val, dwo_val, dwev_val, dwod_val,
+                dcu_val, dcv_val, dbk_val, dbv_val]
+        tot = vals if tot is None else [a + v for a, v in zip(tot, vals)]
 
     # grid-sequential accumulation over the inner batch dim: the blocks'
     # index maps ignore program_id(1), so they stay VMEM-resident across
     # consecutive batch iterations and only the final sums hit HBM.
     i = pl.program_id(1)
-    acc = [(dwq_ref, dwq_val), (dwk_ref, dwk_val), (dwv_ref, dwv_val),
-           (dwo_ref, dwo_val), (dwev_ref, dwev_val), (dwod_ref, dwod_val),
-           (dcu_ref, dcu_val), (dcv_ref, dcv_val), (dbk_ref, dbk_val),
-           (dbv_ref, dbv_val)]
+    refs = [dwq_ref, dwk_ref, dwv_ref, dwo_ref, dwev_ref, dwod_ref,
+            dcu_ref, dcv_ref, dbk_ref, dbv_ref]
 
     @pl.when(i == 0)
     def _():
-        for ref, val in acc:
+        for ref, val in zip(refs, tot):
             ref[:] = val
 
     @pl.when(i != 0)
     def _():
-        for ref, val in acc:
+        for ref, val in zip(refs, tot):
             ref[:] = ref[:] + val
 
 
@@ -879,6 +889,47 @@ def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0):
     return hpp
 
 
+def _pick_hpp_bpp(h, b, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0):
+    """(heads, batch-rows) per program. Heads are maximized first (weight
+    blocks amortize across the whole inner sweep); then batch rows pack
+    into the same program while the bpp-scaled working set stays in budget.
+    Small models (d88/d176: ~3 MB per head-unit) are PER-PROGRAM-FIXED-COST
+    bound — the round-4 probes showed HBM traffic and the VPU softmax chain
+    are both immaterial at LARGE, and at flagship dims 32 one-row programs
+    per layer pay ~10-20 us each of prologue/DMA-sync. bpp=2..4 cuts the
+    program count 2-4x at identical math."""
+    hpp = _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk, rate)
+    import os
+    try:
+        budget_mb = int(os.environ.get("TPU_ASR_ATTN_VMEM_MB", "40"))
+        if not 1 <= budget_mb <= 1024:
+            budget_mb = 40
+    except ValueError:
+        budget_mb = 40
+    budget = budget_mb * 2 ** 20
+    n_drop = 1 if rate > 0.0 else 0
+    unit = ((n_tt + n_drop) * tp * tp + n_tdh * tp * half
+            + n_tdk * tp * dk) * 4
+    # measured (v5e, flagship d176/d88, direct same-session A/B of
+    # BPP_MAX 1 vs 4): teacher fwd 10.59 vs 10.66 ms, student fwd(train)
+    # 7.75 vs 7.87 ms — row packing is TIME-NEUTRAL (the per-program
+    # prologue it amortizes is already overlapped), so the default cap is
+    # 1 for the smaller VMEM footprint. TPU_ASR_ATTN_BPP_MAX re-enables
+    # packing for probing.
+    try:
+        bpp_max = int(os.environ.get("TPU_ASR_ATTN_BPP_MAX", "1"))
+        if not 1 <= bpp_max <= 16:
+            bpp_max = 1
+    except ValueError:
+        bpp_max = 1
+    bpp = 1
+    for cand in (8, 4, 2):
+        if cand <= bpp_max and b % cand == 0 and hpp * cand * unit <= budget:
+            bpp = cand
+            break
+    return hpp, bpp
+
+
 def _block_pad(x, sin_t, cos_t, key_bias):
     b, t, d = x.shape
     tp = _round_up(t, LANE)
@@ -906,18 +957,18 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
     half = wev.shape[-1]
     x_p, sin_p, cos_p, sint_p, cost_p, bias, tp = _block_pad(
         x, sin_t, cos_t, key_bias)
-    hpp = _pick_hpp_block(h, tp, dk, half, n_tt=3, n_tdh=6, n_tdk=8,
-                          rate=dropout_rate)
+    hpp, bpp = _pick_hpp_bpp(h, b, tp, dk, half, n_tt=3, n_tdh=6, n_tdk=8,
+                             rate=dropout_rate)
     n_g = h // hpp
 
     kernel = functools.partial(_block_fwd_kernel, t=tp, dk_real=dk,
                                left=att_context_size[0],
-                               right=att_context_size[1], hpp=hpp,
+                               right=att_context_size[1], hpp=hpp, bpp=bpp,
                                rate=dropout_rate, with_seg=seg is not None,
                                interpret=interpret)
     # grid (head_groups, batch): batch innermost keeps the weight blocks
     # (index maps on dim 0 only) VMEM-resident across the batch sweep
-    x_spec = pl.BlockSpec((1, tp, d), lambda j, i: (i, 0, 0),
+    x_spec = pl.BlockSpec((bpp, tp, d), lambda j, i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((hpp, d, dk), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -936,7 +987,7 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
                      memory_space=pltpu.SMEM),
         x_spec, w_spec, w_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
         p_spec, p_spec, t_spec, t_spec, tt_spec, tt_spec,
-        pl.BlockSpec((1, 1, 1, tp), lambda j, i: (i, 0, 0, 0),
+        pl.BlockSpec((bpp, 1, 1, tp), lambda j, i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         o_spec,
     ]
@@ -945,17 +996,17 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
     if seg is not None:
         seg_p = jnp.pad(seg.astype(jnp.float32), ((0, 0), (0, tp - t)))
         in_specs += [
-            pl.BlockSpec((1, tp, 1), lambda j, i: (i, 0, 0),
+            pl.BlockSpec((bpp, tp, 1), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tp), lambda j, i: (i, 0, 0),
+            pl.BlockSpec((bpp, 1, tp), lambda j, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [seg_p[:, :, None], seg_p[:, None, :]]
     out = pl.pallas_call(
         kernel,
-        grid=(n_g, b),
+        grid=(n_g, b // bpp),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, tp, d), lambda j, i: (j, i, 0, 0),
+        out_specs=pl.BlockSpec((1, bpp, tp, d), lambda j, i: (j, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_g, b, tp, d), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -979,19 +1030,19 @@ def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
     half = wev.shape[-1]
     x_p, sin_p, cos_p, sint_p, cost_p, bias, tp = _block_pad(
         x, sin_t, cos_t, key_bias)
-    hpp = _pick_hpp_block(h, tp, dk, half, n_tt=4, n_tdh=8, n_tdk=12,
-                          rate=dropout_rate)
+    hpp, bpp = _pick_hpp_bpp(h, b, tp, dk, half, n_tt=4, n_tdh=8,
+                             n_tdk=12, rate=dropout_rate)
     n_g = h // hpp
     g_p = jnp.pad(g.astype(x.dtype), ((0, 0), (0, tp - t), (0, 0)))
 
     kernel = functools.partial(_block_bwd_kernel, t=tp, dk_real=dk,
                                left=att_context_size[0],
-                               right=att_context_size[1], hpp=hpp,
+                               right=att_context_size[1], hpp=hpp, bpp=bpp,
                                rate=dropout_rate, interpret=interpret)
     # grid (head_groups, batch), batch innermost: weight operand blocks stay
     # resident across the batch sweep and the weight-grad blocks accumulate
     # in place (their index maps ignore the inner dim) — see the kernel note
-    x_spec = pl.BlockSpec((1, tp, d), lambda j, i: (i, 0, 0),
+    x_spec = pl.BlockSpec((bpp, tp, d), lambda j, i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((hpp, d, dk), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -1005,7 +1056,7 @@ def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
                            memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((hpp, dk, d), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, tp, d), lambda j, i: (i, 0, 0),
+    g_spec = pl.BlockSpec((bpp, tp, d), lambda j, i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     dxd = jax.ShapeDtypeStruct((n_g, b, tp, d), x.dtype)
     dwd = jax.ShapeDtypeStruct((h, dk, d), jnp.float32)
@@ -1020,17 +1071,17 @@ def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
                            memory_space=pltpu.VMEM)
     res = pl.pallas_call(
         kernel,
-        grid=(n_g, b),
+        grid=(n_g, b // bpp),
         in_specs=[
             pl.BlockSpec((b, h), lambda j, i: (0, 0),
                          memory_space=pltpu.SMEM),
             x_spec, w_spec, w_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
             p_spec, p_spec, t_spec, t_spec, tt_spec, tt_spec,
-            pl.BlockSpec((1, 1, 1, tp), lambda j, i: (i, 0, 0, 0),
+            pl.BlockSpec((bpp, 1, 1, tp), lambda j, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             o_spec, g_spec,
         ],
-        out_specs=(pl.BlockSpec((1, 1, tp, d), lambda j, i: (j, i, 0, 0),
+        out_specs=(pl.BlockSpec((1, bpp, tp, d), lambda j, i: (j, i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    dw_spec, dw_spec, dw_spec, dw_spec, dp_spec, dp_spec,
                    dc_spec, dc_spec, dc_spec, dc_spec),
