@@ -83,6 +83,7 @@ def main() -> int:
         return 2
 
     from tpu_asr.convert.nemo_import import load_nemo_checkpoint
+    from tpu_asr.data.audio import load_audio
     from tpu_asr.data.tokenizer import SentencePieceBPETokenizer
     from tpu_asr.models.ctc_model import CTCModel
     from tpu_asr.models.transcribe import Transcriber
@@ -117,7 +118,10 @@ def main() -> int:
         dt = time.perf_counter() - t0
         wer = word_error_rate(hyps, refs) * 100.0
         target = PUBLISHED_WER.get(split)
-        audio_s = sum(os.path.getsize(p) for p in paths) / (2 * 16000.0)
+        # decoded sample counts, not file bytes: FLAC compresses ~2x, so a
+        # byte-based estimate would understate RTFx by that factor
+        audio_s = sum(
+            len(load_audio(p, 16000)) for p in paths) / 16000.0
         print(f"{split}: WER {wer:.2f}% over {len(pairs)} utts "
               f"(~RTFx {audio_s / dt:.0f}); NGC target "
               f"{target if target is not None else 'n/a'}")

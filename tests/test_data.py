@@ -515,3 +515,35 @@ def test_decode_cache_roundtrip(tmp_path):
     except Exception:
         raised = True
     assert raised
+
+
+def test_decode_cache_invalidated_on_source_change(tmp_path):
+    """A re-recorded/edited source file (different size+mtime) must re-decode
+    instead of serving the stale cached waveform (ADVICE r4)."""
+    import os
+
+    from tpu_asr.data.tokenizer import train_bpe
+
+    rng = np.random.default_rng(4)
+    p = tmp_path / "u.wav"
+    write_wav(p, (rng.normal(size=8000) * 0.1).astype(np.float32), 16000)
+    man = tmp_path / "m.jsonl"
+    write_manifest(man, [ManifestEntry(str(p), 0.5, "hello cache")])
+    tok = train_bpe(["hello cache"] * 3, vocab_size=32)
+    cache = tmp_path / "cache"
+
+    ds = AudioToBPEDataset(str(man), tok, 16000, 0.1, 2.0,
+                           decode_cache_dir=str(cache))
+    first = np.asarray(ds[0].signal).copy()
+
+    new_sig = (rng.normal(size=6000) * 0.1).astype(np.float32)
+    write_wav(p, new_sig, 16000)
+    # force a distinct mtime even on coarse-granularity filesystems
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 10_000_000))
+
+    ds2 = AudioToBPEDataset(str(man), tok, 16000, 0.1, 2.0,
+                            decode_cache_dir=str(cache))
+    second = np.asarray(ds2[0].signal)
+    assert second.shape != first.shape          # stale cache NOT served
+    np.testing.assert_allclose(second, new_sig, atol=1e-3)

@@ -70,6 +70,24 @@ def test_artifact_reproduces_transcribe(tiny_model, artifact):
     assert got == ref
 
 
+def test_no_crop_across_bucket_boundary(tiny_model, artifact):
+    """A short and a long signal must not share a batch in the short bucket:
+    batching sorted windows used to pick the bucket from the SHORTEST
+    remaining signal and silently crop any longer one in the window."""
+    model, variables, tok = tiny_model
+    rng = np.random.default_rng(2)
+    # 1400 fits bucket 0 (3200 samples); 4700 only fits bucket 1 (6400) —
+    # with batch_size 2 the old code cropped it to 3200.
+    sigs = [rng.normal(scale=0.1, size=l).astype(np.float32)
+            for l in (1400, 4700)]
+    ref = Transcriber(model, variables, tok, batch_size=2,
+                      bucket_seconds=0.2).transcribe(sigs)
+    ex = load_exported(artifact)
+    assert ex.transcribe(sigs) == ref
+    # and the grouping really put them in different buckets
+    assert ex._pick(1400) != ex._pick(4700)
+
+
 def test_program_logit_parity(tiny_model, artifact):
     model, variables, tok = tiny_model
     ex = e = load_exported(artifact)

@@ -113,11 +113,14 @@ class ExportedTranscriber:
         self.decoding = decoding or (CTCDecoding(tokenizer, "greedy")
                                      if tokenizer is not None else None)
 
-    def _pick(self, n_samples: int):
-        for e, prog in self.buckets:
+    def _pick(self, n_samples: int) -> int:
+        """Index of the smallest bucket that fits `n_samples` (the last
+        bucket when nothing fits — only then is audio cropped, matching
+        `Transcriber`'s pad-to-batch-max contract for in-range input)."""
+        for bi, (e, _) in enumerate(self.buckets):
             if n_samples <= e["pad_samples"]:
-                return e, prog
-        return self.buckets[-1]           # longest bucket; audio is cropped
+                return bi
+        return len(self.buckets) - 1
 
     def transcribe(self, audio: Sequence, return_hypotheses: bool = False):
         from tpu_asr.data.audio import load_audio
@@ -126,26 +129,31 @@ class ExportedTranscriber:
                               if isinstance(a, str) or hasattr(a, "__fspath__")
                               else a, np.float32)
                    for a in audio]
-        order = np.argsort([len(s) for s in signals])
+        # Group by the bucket each signal itself needs BEFORE batching, so a
+        # batch never contains a signal longer than its bucket's pad length
+        # (batching sorted-ascending windows cropped the tail of any window
+        # that crossed a bucket boundary).
+        by_bucket: dict = {}
+        for i, s in enumerate(signals):
+            by_bucket.setdefault(self._pick(len(s)), []).append(i)
         results: List = [None] * len(signals)
-        pos = 0
-        while pos < len(order):
-            longest = len(signals[order[pos]])
-            e, prog = self._pick(longest)
-            idxs = order[pos:pos + e["batch_size"]]
-            pos += len(idxs)
+        for bi in sorted(by_bucket):
+            e, prog = self.buckets[bi]
             pad, bs = e["pad_samples"], e["batch_size"]
-            sig = np.zeros((bs, pad), np.float32)
-            ln = np.zeros((bs,), np.int32)
-            for j, i in enumerate(idxs):
-                s = signals[i][:pad]
-                sig[j, : len(s)] = s
-                ln[j] = len(s)
-            log_probs, enc_len = prog.call(sig, ln)
-            decoded = self.decoding.ctc_decoder_predictions_tensor(
-                log_probs, enc_len, return_hypotheses=return_hypotheses)
-            for j, i in enumerate(idxs):
-                results[i] = decoded[j]
+            idxs_all = by_bucket[bi]
+            for pos in range(0, len(idxs_all), bs):
+                idxs = idxs_all[pos:pos + bs]
+                sig = np.zeros((bs, pad), np.float32)
+                ln = np.zeros((bs,), np.int32)
+                for j, i in enumerate(idxs):
+                    s = signals[i][:pad]
+                    sig[j, : len(s)] = s
+                    ln[j] = len(s)
+                log_probs, enc_len = prog.call(sig, ln)
+                decoded = self.decoding.ctc_decoder_predictions_tensor(
+                    log_probs, enc_len, return_hypotheses=return_hypotheses)
+                for j, i in enumerate(idxs):
+                    results[i] = decoded[j]
         return results
 
 

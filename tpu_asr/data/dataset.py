@@ -79,11 +79,32 @@ class AudioToBPEDataset:
         key = hashlib.sha1(
             f"{e.audio_filepath}:{self.sample_rate}".encode()).hexdigest()
         path = os.path.join(self.cache_dir, key + ".npy")
+        meta = path + ".meta"
+        # the source's (size, mtime_ns) at decode time, validated on every
+        # hit: a re-recorded/edited file re-decodes instead of silently
+        # serving the stale waveform. A MISSING source still serves the
+        # cache (that is the cache's point — workers without the corpus).
+        try:
+            st = os.stat(e.audio_filepath)
+            stamp = f"{st.st_size}:{st.st_mtime_ns}"
+        except OSError:
+            stamp = None
         if os.path.isfile(path):
-            try:
-                return np.load(path, mmap_mode="r")
-            except Exception:
-                pass                      # partial/corrupt -> re-decode
+            fresh = True
+            if stamp is not None:
+                try:
+                    with open(meta) as f:
+                        fresh = f.read().strip() == stamp
+                except OSError:
+                    pass                  # pre-sidecar cache: trust it
+            if fresh:
+                try:
+                    # mmap keeps the hot path zero-copy; the array is
+                    # READ-ONLY, which every consumer honors (collate copies
+                    # into the padded batch buffer)
+                    return np.load(path, mmap_mode="r")
+                except Exception:
+                    pass                  # partial/corrupt -> re-decode
         signal = load_audio(e.audio_filepath, self.sample_rate)
         tmp = f"{path}.tmp{os.getpid()}"
         try:
@@ -92,6 +113,10 @@ class AudioToBPEDataset:
             with open(tmp, "wb") as f:
                 np.save(f, signal)
             os.replace(tmp, path)
+            if stamp is not None:
+                with open(f"{meta}.tmp{os.getpid()}", "w") as f:
+                    f.write(stamp)
+                os.replace(f"{meta}.tmp{os.getpid()}", meta)
         except OSError:                   # read-only/full disk: stay uncached
             pass
         return signal
