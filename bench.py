@@ -491,6 +491,7 @@ def main() -> None:
             return c, (jnp.sum(tokens), jnp.sum(n_tokens))
         return jax.lax.scan(body, 0, sigs)[1]
 
+    degraded = False
     try:
         # host transfer as the completion fence: under the axon tunnel
         # block_until_ready can return before device completion (see
@@ -501,6 +502,15 @@ def main() -> None:
         r = infer_scan(sigs, signal_len)
         np.asarray(r[0])
         elapsed = time.perf_counter() - start
+        # degraded-dispatch self-check (VERDICT r4 weak #2): sustained must
+        # be at least as fast as the per-call loop (it amortizes dispatch).
+        # On violation re-measure once; stamp the headline if it persists.
+        if audio_seconds / elapsed < rtfx_dispatch * 0.98:
+            start = time.perf_counter()
+            r = infer_scan(sigs, signal_len)
+            np.asarray(r[0])
+            elapsed = time.perf_counter() - start
+            degraded = audio_seconds / elapsed < rtfx_dispatch * 0.98
     except Exception as e:                    # headline must always print
         print(json.dumps({"metric": "sustained-scan fallback",
                           "error": str(e)[:200]}))
@@ -523,14 +533,17 @@ def main() -> None:
         "value": round(rtfx_dispatch, 2), "unit": "x realtime",
         "vs_baseline": round(rtfx_dispatch / A100_RTFX_ESTIMATE, 3)}))
     # the driver-contract headline stays the LAST line printed
-    print(json.dumps({
+    headline = {
         "metric": "librispeech-style greedy inference RTFx (conformer-ctc-small)",
         "value": round(rtfx, 2),
         "unit": "x realtime",
         "vs_baseline": round(rtfx / A100_RTFX_ESTIMATE, 3),
         "mfu": round(util, 4) if util is not None else None,
         "tflops_per_step": round(fl / 1e12, 3) if fl else None,
-    }))
+    }
+    if degraded:
+        headline["degraded"] = True
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
