@@ -302,13 +302,14 @@ def _block_xla_reference(x, p_, mask, h, ctx=(-1, -1), bf16_stages=False):
     return out @ pp["wo"]
 
 
-def _run_block(x, p_, mask, h, ctx=(-1, -1), rate=0.0, seed=None):
+def _run_block(x, p_, mask, h, ctx=(-1, -1), rate=0.0, seed=None,
+               score_bf16=None):
     from tpu_asr.ops.pallas_attention import fused_relpos_attention_block
     return fused_relpos_attention_block(
         x, p_["wq"], p_["bq"], p_["wk"], p_["bk"], p_["wv"], p_["bv"],
         p_["bu"], p_["bvv"], p_["wpos"], p_["wo"], mask, n_heads=h,
         att_context_size=ctx, dropout_rate=rate, dropout_seed=seed,
-        interpret=True)
+        interpret=True, score_bf16=score_bf16)
 
 
 @pytest.mark.parametrize("t,d,h", [(100, 176, 4), (130, 88, 2)])
@@ -378,6 +379,47 @@ def test_block_attention_backward_matches_xla():
             check(gp_k[key], gp_r[key], key)
 
 
+def test_block_attention_score_bf16_parity():
+    """bf16 score tiles (flag-gated, VERDICT r4 next #2): fwd outputs and
+    all grads must stay within the bf16 softmax-storage rounding bound
+    (~2^-8 relative on attention weights) of the fp32-tile kernel."""
+    rng = np.random.default_rng(11)
+    b, t, d, h = 2, 100, 64, 4
+    x = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32) * 0.5)
+    p_ = _block_params(rng, d, h)
+    lengths = np.asarray([t, t - 7])
+    mask = jnp.asarray(np.arange(t)[None, :] < lengths[:, None])
+    mf = jnp.asarray(np.asarray(mask), jnp.float32)[..., None]
+
+    want = _run_block(x, p_, mask, h, score_bf16=False)
+    got = _run_block(x, p_, mask, h, score_bf16=True)
+    m = np.asarray(mask)[..., None]
+    np.testing.assert_allclose(np.asarray(got) * m, np.asarray(want) * m,
+                               rtol=2e-2, atol=5e-3)
+
+    def loss(x, p_, flag):
+        return jnp.sum(jnp.square(
+            _run_block(x, p_, mask, h, score_bf16=flag) * mf))
+
+    gx_f, gp_f = jax.grad(loss, argnums=(0, 1))(x, p_, False)
+    gx_q, gp_q = jax.grad(loss, argnums=(0, 1))(x, p_, True)
+
+    def check(g_got, g_want, name):
+        scale = max(1e-3, float(jnp.max(jnp.abs(g_want))))
+        np.testing.assert_allclose(np.asarray(g_got) / scale,
+                                   np.asarray(g_want) / scale,
+                                   atol=3e-2, err_msg=f"grad {name}")
+    check(gx_q, gx_f, "x")
+    # bk's TRUE gradient is zero (it shifts every score in a query row by
+    # the same constant — softmax-invariant), so both kernels emit only
+    # rounding noise there; bound it against the global grad scale instead
+    gscale = float(jnp.max(jnp.abs(gx_f)))
+    assert float(jnp.max(jnp.abs(gp_q["bk"]))) < 0.05 * gscale
+    for key in gp_f:
+        if key != "bk":
+            check(gp_q[key], gp_f[key], key)
+
+
 def test_block_attention_dropout_deterministic():
     rng = np.random.default_rng(6)
     b, t, d, h = 2, 64, 32, 4
@@ -429,6 +471,99 @@ def test_block_attention_packed_segments_match_solo():
     # segment 2 and diverge from its solo forward
     plain = np.asarray(run(packed, mask))
     assert not np.allclose(plain[0, :len1], solo1[0], rtol=1e-2, atol=3e-3)
+
+
+def test_block_attention_packed_segments_grads_match_solo():
+    """Packed-segment TRAINING (round 5): the seg path now has a custom VJP.
+    Gradients through a packed row must decompose into the solo segments'
+    gradients — d(x_i) at segment i's positions equals the solo run's dx,
+    and weight grads equal the sum of the solo runs' weight grads."""
+    from tpu_asr.ops.pallas_attention import fused_relpos_attention_block
+
+    rng = np.random.default_rng(8)
+    d, h, t = 64, 4, 128
+    len1, len2, off2 = 50, 40, 60
+    p_ = _block_params(rng, d, h)
+    x1 = jnp.asarray(rng.normal(size=(1, len1, d)).astype(np.float32) * 0.5)
+    x2 = jnp.asarray(rng.normal(size=(1, len2, d)).astype(np.float32) * 0.5)
+    seg = np.zeros((1, t), np.int32)
+    seg[0, :len1] = 1
+    seg[0, off2:off2 + len2] = 2
+    mask_p = jnp.asarray(seg > 0)
+
+    def run(x, m, seg_id=None):
+        return fused_relpos_attention_block(
+            x, p_["wq"], p_["bq"], p_["wk"], p_["bk"], p_["wv"], p_["bv"],
+            p_["bu"], p_["bvv"], p_["wpos"], p_["wo"], m, n_heads=h,
+            seg_id=seg_id, interpret=True)
+
+    def loss_packed(x1, x2, p):
+        nonlocal p_
+        p_save, p_ = p_, p
+        packed = jnp.zeros((1, t, d), jnp.float32)
+        packed = packed.at[:, :len1].set(x1).at[:, off2:off2 + len2].set(x2)
+        out = run(packed, mask_p, seg_id=jnp.asarray(seg))
+        p_ = p_save
+        return jnp.sum(jnp.square(
+            jnp.where(mask_p[..., None], out, 0.0)))
+
+    def loss_solo(x1, x2, p):
+        nonlocal p_
+        p_save, p_ = p_, p
+        o1 = run(x1, jnp.ones((1, len1), bool))
+        o2 = run(x2, jnp.ones((1, len2), bool))
+        p_ = p_save
+        return jnp.sum(jnp.square(o1)) + jnp.sum(jnp.square(o2))
+
+    g1p, g2p, gpp = jax.grad(loss_packed, argnums=(0, 1, 2))(x1, x2, p_)
+    g1s, g2s, gps = jax.grad(loss_solo, argnums=(0, 1, 2))(x1, x2, p_)
+
+    def check(a, b, name, atol=2e-2):
+        scale = max(1e-3, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=atol,
+                                   err_msg=name)
+    check(g1p, g1s, "dx1")
+    check(g2p, g2s, "dx2")
+    gscale = max(float(jnp.max(jnp.abs(g1s))), float(jnp.max(jnp.abs(g2s))))
+    for key in gpp:
+        if key == "bk":        # true grad is zero (softmax-invariant)
+            assert float(jnp.max(jnp.abs(gpp[key]))) < 0.05 * gscale
+        else:
+            check(gpp[key], gps[key], f"d{key}")
+
+
+def test_block_attention_packed_dropout_deterministic_and_backward():
+    """seg + in-kernel dropout (packed TRAINING): same seed -> identical
+    output; grads are finite and zero outside valid positions."""
+    from tpu_asr.ops.pallas_attention import fused_relpos_attention_block
+
+    rng = np.random.default_rng(9)
+    d, h, t = 32, 4, 64
+    seg = np.zeros((2, t), np.int32)
+    seg[:, :30] = 1
+    seg[:, 40:60] = 2
+    mask = jnp.asarray(seg > 0)
+    p_ = _block_params(rng, d, h)
+    x = jnp.asarray(rng.normal(size=(2, t, d)).astype(np.float32) * 0.5)
+    x = jnp.where(mask[..., None], x, 0.0)
+    seed = jnp.asarray([77], jnp.int32)
+
+    def run(x, s):
+        return fused_relpos_attention_block(
+            x, p_["wq"], p_["bq"], p_["wk"], p_["bk"], p_["wv"], p_["bv"],
+            p_["bu"], p_["bvv"], p_["wpos"], p_["wo"], mask, n_heads=h,
+            seg_id=jnp.asarray(seg), dropout_rate=0.3, dropout_seed=s,
+            interpret=True)
+
+    a1, a2 = run(x, seed), run(x, seed)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert not np.allclose(np.asarray(a1), np.asarray(run(x, seed + 3)))
+
+    g = jax.grad(lambda x: jnp.sum(jnp.square(
+        jnp.where(mask[..., None], run(x, seed), 0.0))))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(jnp.where(mask[..., None], 0.0, g)))) == 0.0
 
 
 def test_block_bwd_mosaic_lowering_large_dims():

@@ -593,13 +593,25 @@ def _project_t(x16, w_ref, bias_ref):
 
 def _block_scores(x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref,
                   bv_ref, wev_ref, wod_ref, sint_ref, cost_ref, cos_ref,
-                  sin_ref, bias, *, t, dk_real, left, right, seg=None):
+                  sin_ref, bias, *, t, dk_real, left, right, seg=None,
+                  score_bf16=False):
     """Shared by fwd and bwd: projections + scores + softmax in VMEM.
-    Returns (attn (hpp,T,S) fp32, qT, q_uT, q_vT, kT, vT (hpp,dk,T) fp32).
+    Returns (attn (hpp,T,S), qT, q_uT, q_vT, kT, vT (hpp,dk,T) fp32).
 
     `seg` (packed-segment serving): (segq (t, 1), segk (1, t)) fp32 segment
     maps of this batch row; query t attends key s iff seg[t] == seg[s] — two
-    VMEM broadcasts + a compare, no (t, t) operand ships from HBM."""
+    VMEM broadcasts + a compare, no (t, t) operand ships from HBM.
+
+    `score_bf16` (flag-gated, VERDICT r4 next #2): the (T, T) score/softmax
+    tiles live in bf16 — MXU accumulation stays fp32 internally and the
+    softmax denominator accumulates fp32 (dtype= on the reduce); only tile
+    STORAGE rounds to bf16 (~2^-8 relative on attention weights). Halves
+    the dominant per-program working set, so hpp/bpp can double."""
+    # Mosaic requires 32-bit matmul ACCUMULATORS (preferred_element_type=
+    # bf16 fails verification: 'tpu.matmul op Expected matmul acc to be
+    # 32-bit'), so the dots always produce fp32; score_bf16 downcasts the
+    # combined score tile for STORAGE, halving e/attn and the softmax chain
+    sdt = jnp.bfloat16 if score_bf16 else jnp.float32
     qt = _project_t(x16, wq_ref, cu_ref)               # carries bq + bias_u
     q_vt = qt - cu_ref[:] + cv_ref[:]                  # swap to bq + bias_v
     kt = _project_t(x16, wk_ref, bk_ref)
@@ -628,17 +640,22 @@ def _block_scores(x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref,
                              preferred_element_type=jnp.float32)
     bd = bd + jax.lax.dot_general(bmat, sin_ref[:].astype(jnp.bfloat16), pdn,
                                   preferred_element_type=jnp.float32)
-    scores = (ac + bd) * (1.0 / math.sqrt(dk_real)) + bias
+    # -1e30 is representable in bf16 (same exponent range as fp32)
+    scores = ((ac + bd) * (1.0 / math.sqrt(dk_real))
+              + bias).astype(sdt)
     if left >= 0 or right >= 0:
-        scores = jnp.where(_local_mask(t, left, right)[None], scores, -1e30)
+        scores = jnp.where(_local_mask(t, left, right)[None], scores,
+                           sdt(-1e30))
     if seg is not None:
         segq, segk = seg
         same = (jnp.broadcast_to(segq, (t, t))
                 == jnp.broadcast_to(segk, (t, t)))
-        scores = jnp.where(same[None], scores, -1e30)
+        scores = jnp.where(same[None], scores, sdt(-1e30))
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    # fp32-accumulated denominator (a (hpp, T, 1) vector — no (T, T) fp32)
+    denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+    attn = e * (1.0 / denom).astype(sdt)
     return attn, qt, q_vt, kt, vt
 
 
@@ -646,7 +663,7 @@ def _block_fwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
                       cv_ref, bk_ref, bv_ref, wev_ref, wod_ref, sin_ref,
                       cos_ref, sint_ref, cost_ref, bias_ref, wo_ref, *rest,
                       t, dk_real, left, right, hpp, bpp, rate,
-                      with_seg=False, interpret=False):
+                      with_seg=False, score_bf16=False, interpret=False):
     if with_seg:
         segq_ref, segk_ref, o_ref = rest
     else:
@@ -661,7 +678,7 @@ def _block_fwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
             x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref, bv_ref,
             wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref,
             bias_ref[r], t=t, dk_real=dk_real, left=left, right=right,
-            seg=seg)
+            seg=seg, score_bf16=score_bf16)
         if rate > 0.0:
             seed_base = seed_ref[pl.program_id(1) * bpp + r,
                                  pl.program_id(0) * hpp]
@@ -693,10 +710,8 @@ def _block_fwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
 def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
                       cv_ref, bk_ref, bv_ref, wev_ref, wod_ref, sin_ref,
                       cos_ref, sint_ref, cost_ref, bias_ref, wo_ref, g_ref,
-                      dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dwev_ref,
-                      dwod_ref, dcu_ref, dcv_ref, dbk_ref, dbv_ref,
-                      *, t, dk_real, left, right, hpp, bpp, rate,
-                      interpret=False):
+                      *rest, t, dk_real, left, right, hpp, bpp, rate,
+                      with_seg=False, score_bf16=False, interpret=False):
     """Flash-style backward: recompute projections + attention in VMEM.
     Grid is (head_groups, batch) with batch INNERMOST: weight/bias grads
     accumulate IN PLACE into their VMEM-resident block across the batch
@@ -705,7 +720,17 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
     of per-(batch, head) partials (~168 MB/layer at conformer-LARGE). dx is
     emitted as a per-head-group partial, summed by the caller. `bpp` batch
     rows run per program (static unroll, grads summed across rows) to
-    amortize the per-program fixed cost that bounds the small models."""
+    amortize the per-program fixed cost that bounds the small models.
+
+    `with_seg` recomputes the packed-segment attention mask in the backward
+    (packed-segment TRAINING): masked entries have attn == 0 -> ds == 0, so
+    no extra masking of the grads is needed."""
+    if with_seg:
+        (segq_ref, segk_ref, dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref,
+         dwev_ref, dwod_ref, dcu_ref, dcv_ref, dbk_ref, dbv_ref) = rest
+    else:
+        (dx_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref, dwev_ref, dwod_ref,
+         dcu_ref, dcv_ref, dbk_ref, dbv_ref) = rest
     wo16 = wo_ref[:].astype(jnp.bfloat16)              # (hpp, dk, D)
     wev16 = wev_ref[:].astype(jnp.bfloat16)
     wod16 = wod_ref[:].astype(jnp.bfloat16)
@@ -716,10 +741,12 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
     for r in range(bpp):
         x16 = x_ref[r].astype(jnp.bfloat16)
         g16 = g_ref[r].astype(jnp.bfloat16)            # (T, D)
+        seg = (segq_ref[r], segk_ref[r]) if with_seg else None
         attn, qt, q_vt, kt, vt = _block_scores(
             x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref, bv_ref,
             wev_ref, wod_ref, sint_ref, cost_ref, cos_ref, sin_ref,
-            bias_ref[r], t=t, dk_real=dk_real, left=left, right=right)
+            bias_ref[r], t=t, dk_real=dk_real, left=left, right=right,
+            seg=seg, score_bf16=score_bf16)
         if rate > 0.0:
             seed_base = seed_ref[pl.program_id(1) * bpp + r,
                                  pl.program_id(0) * hpp]
@@ -857,7 +884,8 @@ def _block_bwd_kernel(seed_ref, x_ref, wq_ref, wk_ref, wv_ref, cu_ref,
             ref[:] = ref[:] + val
 
 
-def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0):
+def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0,
+                    score_bytes=4):
     """Heads per program for the block kernels.
 
     The working-set model is a per-head fp32 byte count against a 40 MB
@@ -881,15 +909,17 @@ def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0):
     budget = budget_mb * 2 ** 20
     n_drop = 1 if rate > 0.0 else 0
     hpp = h
-    while hpp > 1 and hpp * ((n_tt + n_drop) * tp * tp + n_tdh * tp * half
-                             + n_tdk * tp * dk) * 4 > budget:
+    while hpp > 1 and hpp * ((n_tt + n_drop) * tp * tp * score_bytes
+                             + (n_tdh * tp * half
+                                + n_tdk * tp * dk) * 4) > budget:
         hpp //= 2
     while h % hpp:
         hpp -= 1
     return hpp
 
 
-def _pick_hpp_bpp(h, b, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0):
+def _pick_hpp_bpp(h, b, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0,
+                  score_bytes=4):
     """(heads, batch-rows) per program. Heads are maximized first (weight
     blocks amortize across the whole inner sweep); then batch rows pack
     into the same program while the bpp-scaled working set stays in budget.
@@ -898,7 +928,8 @@ def _pick_hpp_bpp(h, b, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0):
     are both immaterial at LARGE, and at flagship dims 32 one-row programs
     per layer pay ~10-20 us each of prologue/DMA-sync. bpp=2..4 cuts the
     program count 2-4x at identical math."""
-    hpp = _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk, rate)
+    hpp = _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk, rate,
+                          score_bytes)
     import os
     try:
         budget_mb = int(os.environ.get("TPU_ASR_ATTN_VMEM_MB", "40"))
@@ -908,8 +939,8 @@ def _pick_hpp_bpp(h, b, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0):
         budget_mb = 40
     budget = budget_mb * 2 ** 20
     n_drop = 1 if rate > 0.0 else 0
-    unit = ((n_tt + n_drop) * tp * tp + n_tdh * tp * half
-            + n_tdk * tp * dk) * 4
+    unit = ((n_tt + n_drop) * tp * tp * score_bytes
+            + (n_tdh * tp * half + n_tdk * tp * dk) * 4)
     # measured (v5e, flagship d176/d88, direct same-session A/B of
     # BPP_MAX 1 vs 4): teacher fwd 10.59 vs 10.66 ms, student fwd(train)
     # 7.75 vs 7.87 ms — row packing is TIME-NEUTRAL (the per-program
@@ -936,9 +967,15 @@ def _block_pad(x, sin_t, cos_t, key_bias):
     x_p = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
     # tables ship bf16: every matmul consumes them bf16 anyway and the VPU
     # rotation upcasts in-kernel; halving the operand blocks is what lets
-    # hpp=8 fit the 16 MB scoped-VMEM limit at conformer-LARGE dims
-    pad_tab = lambda z: jnp.pad(z.astype(jnp.bfloat16),
-                                ((0, tp - t), (0, 0)))
+    # hpp=8 fit the 16 MB scoped-VMEM limit at conformer-LARGE dims.
+    # TPU_ASR_ATTN_FP32_TABLES=1 (trace-time, parity-validation runs only)
+    # restores the reference's fp32 position tables (ADVICE r4: keeps the
+    # bf16-table numerics delta excludable when chasing a WER diff).
+    import os
+    tab_dt = (jnp.float32
+              if os.environ.get("TPU_ASR_ATTN_FP32_TABLES") == "1"
+              else jnp.bfloat16)
+    pad_tab = lambda z: jnp.pad(z.astype(tab_dt), ((0, tp - t), (0, 0)))
     sin_p, cos_p = pad_tab(sin_t), pad_tab(cos_t)
     sint_p = jnp.transpose(sin_p)                     # (Dh, tp) constants
     cost_p = jnp.transpose(cos_p)
@@ -949,7 +986,7 @@ def _block_pad(x, sin_t, cos_t, key_bias):
 
 def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
                   key_bias, seed_rows, att_context_size, dropout_rate,
-                  interpret, seg=None):
+                  interpret, seg=None, score_bf16=False):
     """`seg` (B, T) fp32 packed-segment map (eval-only; see data/packing.py)
     adds two tiny (B, T, 1)/(B, 1, T) operands and an in-VMEM block mask."""
     b, t, d = x.shape
@@ -958,14 +995,15 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
     x_p, sin_p, cos_p, sint_p, cost_p, bias, tp = _block_pad(
         x, sin_t, cos_t, key_bias)
     hpp, bpp = _pick_hpp_bpp(h, b, tp, dk, half, n_tt=3, n_tdh=6, n_tdk=8,
-                             rate=dropout_rate)
+                             rate=dropout_rate,
+                             score_bytes=2 if score_bf16 else 4)
     n_g = h // hpp
 
     kernel = functools.partial(_block_fwd_kernel, t=tp, dk_real=dk,
                                left=att_context_size[0],
                                right=att_context_size[1], hpp=hpp, bpp=bpp,
                                rate=dropout_rate, with_seg=seg is not None,
-                               interpret=interpret)
+                               score_bf16=score_bf16, interpret=interpret)
     # grid (head_groups, batch): batch innermost keeps the weight blocks
     # (index maps on dim 0 only) VMEM-resident across the batch sweep
     x_spec = pl.BlockSpec((bpp, tp, d), lambda j, i: (i, 0, 0),
@@ -1024,21 +1062,25 @@ def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
 
 def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
                       cos_t, key_bias, seed_rows, g, att_context_size,
-                      dropout_rate, interpret):
+                      dropout_rate, interpret, score_bf16=False, seg=None):
     b, t, d = x.shape
     h, _, dk = wq.shape
     half = wev.shape[-1]
     x_p, sin_p, cos_p, sint_p, cost_p, bias, tp = _block_pad(
         x, sin_t, cos_t, key_bias)
+    # with bf16 tiles only scores/e/attn shrink; dattn/ds stay fp32 ->
+    # count the (T, T) term at an averaged 3 bytes
     hpp, bpp = _pick_hpp_bpp(h, b, tp, dk, half, n_tt=4, n_tdh=8,
-                             n_tdk=12, rate=dropout_rate)
+                             n_tdk=12, rate=dropout_rate,
+                             score_bytes=3 if score_bf16 else 4)
     n_g = h // hpp
     g_p = jnp.pad(g.astype(x.dtype), ((0, 0), (0, tp - t), (0, 0)))
 
     kernel = functools.partial(_block_bwd_kernel, t=tp, dk_real=dk,
                                left=att_context_size[0],
                                right=att_context_size[1], hpp=hpp, bpp=bpp,
-                               rate=dropout_rate, interpret=interpret)
+                               rate=dropout_rate, with_seg=seg is not None,
+                               score_bf16=score_bf16, interpret=interpret)
     # grid (head_groups, batch), batch innermost: weight operand blocks stay
     # resident across the batch sweep and the weight-grad blocks accumulate
     # in place (their index maps ignore the inner dim) — see the kernel note
@@ -1069,18 +1111,30 @@ def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
                            memory_space=pltpu.VMEM)
     dc_spec = pl.BlockSpec((hpp, 1, dk), lambda j, i: (j, 0, 0),
                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((b, h), lambda j, i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        x_spec, w_spec, w_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
+        p_spec, p_spec, t_spec, t_spec, tt_spec, tt_spec,
+        pl.BlockSpec((bpp, 1, 1, tp), lambda j, i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        o_spec, g_spec,
+    ]
+    operands = [seed_rows, x_p, wq, wk, wv, cu, cv, bk, bv, wev, wod,
+                sin_p, cos_p, sint_p, cost_p, bias, wo, g_p]
+    if seg is not None:
+        seg_p = jnp.pad(seg.astype(jnp.float32), ((0, 0), (0, tp - t)))
+        in_specs += [
+            pl.BlockSpec((bpp, tp, 1), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bpp, 1, tp), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [seg_p[:, :, None], seg_p[:, None, :]]
     res = pl.pallas_call(
         kernel,
         grid=(n_g, b // bpp),
-        in_specs=[
-            pl.BlockSpec((b, h), lambda j, i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            x_spec, w_spec, w_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
-            p_spec, p_spec, t_spec, t_spec, tt_spec, tt_spec,
-            pl.BlockSpec((bpp, 1, 1, tp), lambda j, i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            o_spec, g_spec,
-        ],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec((1, bpp, tp, d), lambda j, i: (j, i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    dw_spec, dw_spec, dw_spec, dw_spec, dp_spec, dp_spec,
@@ -1093,8 +1147,7 @@ def _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
             transcendentals=b * h * tp * tp,
         ),
         interpret=interpret,
-    )(seed_rows, x_p, wq, wk, wv, cu, cv, bk, bv, wev, wod,
-      sin_p, cos_p, sint_p, cost_p, bias, wo, g_p)
+    )(*operands)
     dx_part = res[0]
     if n_g == 1:
         dx = dx_part[0]
@@ -1123,77 +1176,72 @@ _BLK_BWD_OUTS = (("b", None, None),) + (("h", None, None),) * 6 \
 
 
 @functools.lru_cache(maxsize=None)
-def _block_fwd_partitioned(att_context_size, dropout_rate, interpret):
-    from tpu_asr.parallel.kernel_sharding import factor_partitioned
-
-    def fun(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
-            key_bias, seed_rows):
-        return _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo,
-                             sin_t, cos_t, key_bias, seed_rows,
-                             att_context_size, dropout_rate, interpret)
-
-    return factor_partitioned(fun, _BLK_ARGS, _BLK_OUT, tuple_out=False,
-                              reduce_factors=("h",))
-
-
-@functools.lru_cache(maxsize=None)
-def _block_fwd_partitioned_seg(att_context_size, interpret):
-    """Packed-segment forward (eval-only — no VJP is defined; training uses
-    ordinary per-utterance batches). The (B, T) segment map shards along the
-    batch factor like x."""
+def _block_fwd_partitioned(att_context_size, dropout_rate, interpret,
+                           score_bf16=False, with_seg=False):
     from tpu_asr.parallel.kernel_sharding import factor_partitioned
 
     def fun(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
             key_bias, seed_rows, seg):
         return _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo,
                              sin_t, cos_t, key_bias, seed_rows,
-                             att_context_size, 0.0, interpret, seg=seg)
+                             att_context_size, dropout_rate, interpret,
+                             seg=seg if with_seg else None,
+                             score_bf16=score_bf16)
 
     return factor_partitioned(fun, _BLK_ARGS + (("b", None),), _BLK_OUT,
                               tuple_out=False, reduce_factors=("h",))
 
 
 @functools.lru_cache(maxsize=None)
-def _block_bwd_partitioned(att_context_size, dropout_rate, interpret):
+def _block_bwd_partitioned(att_context_size, dropout_rate, interpret,
+                           score_bf16=False, with_seg=False):
     from tpu_asr.parallel.kernel_sharding import factor_partitioned
 
     def fun(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
-            key_bias, seed_rows, g):
+            key_bias, seed_rows, seg, g):
         return _pallas_block_bwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod,
                                  wo, sin_t, cos_t, key_bias, seed_rows, g,
-                                 att_context_size, dropout_rate, interpret)
+                                 att_context_size, dropout_rate, interpret,
+                                 score_bf16=score_bf16,
+                                 seg=seg if with_seg else None)
 
-    return factor_partitioned(fun, _BLK_BWD_ARGS, _BLK_BWD_OUTS,
+    # arg order: (x .. seed_rows) + seg (B, T) + g (B, T, D)
+    return factor_partitioned(fun, _BLK_ARGS + (("b", None),
+                                                ("b", None, None)),
+                              _BLK_BWD_OUTS,
                               tuple_out=True, reduce_factors=("h", "b"))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20))
 def _block_core(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
-                key_bias, seed_rows, att_context_size, dropout_rate,
-                interpret):
-    return _block_fwd_partitioned(att_context_size, dropout_rate, interpret)(
+                key_bias, seed_rows, seg, att_context_size, dropout_rate,
+                interpret, score_bf16, with_seg):
+    return _block_fwd_partitioned(att_context_size, dropout_rate, interpret,
+                                  score_bf16, with_seg)(
         x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
-        key_bias, seed_rows)
+        key_bias, seed_rows, seg)
 
 
 def _block_core_fwd(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t,
-                    cos_t, key_bias, seed_rows, att_context_size,
-                    dropout_rate, interpret):
-    out = _block_fwd_partitioned(att_context_size, dropout_rate, interpret)(
+                    cos_t, key_bias, seed_rows, seg, att_context_size,
+                    dropout_rate, interpret, score_bf16, with_seg):
+    out = _block_fwd_partitioned(att_context_size, dropout_rate, interpret,
+                                 score_bf16, with_seg)(
         x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
-        key_bias, seed_rows)
+        key_bias, seed_rows, seg)
     return out, (x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
-                 key_bias, seed_rows)
+                 key_bias, seed_rows, seg)
 
 
-def _block_core_bwd(att_context_size, dropout_rate, interpret, res, g):
+def _block_core_bwd(att_context_size, dropout_rate, interpret, score_bf16,
+                    with_seg, res, g):
     (x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t, key_bias,
-     seed_rows) = res
+     seed_rows, seg) = res
     (dx, dwq_b, dwk_b, dwv_b, dwo_b, dwev_b, dwod_b, dcu_b, dcv_b, dbk_b,
      dbv_b) = _block_bwd_partitioned(att_context_size, dropout_rate,
-                                     interpret)(
+                                     interpret, score_bf16, with_seg)(
         x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
-        key_bias, seed_rows, g)
+        key_bias, seed_rows, seg, g)
     # weight grads arrive batch-summed from the kernel (grid-sequential
     # accumulation; psum over 'b' under GSPMD). The kernel emits dW as
     # (h, dk, D) — transpose to the (h, D, dk) operands
@@ -1211,7 +1259,8 @@ def _block_core_bwd(att_context_size, dropout_rate, interpret, res, g):
             dwo_b.astype(wo.dtype),
             jnp.zeros_like(sin_t), jnp.zeros_like(cos_t),
             jnp.zeros_like(key_bias),
-            np.zeros(seed_rows.shape, jax.dtypes.float0))
+            np.zeros(seed_rows.shape, jax.dtypes.float0),
+            jnp.zeros_like(seg))
 
 
 _block_core.defvjp(_block_core_fwd, _block_core_bwd)
@@ -1236,6 +1285,7 @@ def fused_relpos_attention_block(
     dropout_seed: Optional[jnp.ndarray] = None,
     interpret: bool = False,
     seg_id: Optional[jnp.ndarray] = None,   # (B, T) int, 0 = guard/pad
+    score_bf16: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Whole-sublayer fused attention: (B, T, D) in -> (B, T, D) out,
     WITHOUT the linear_out bias (the caller adds it — keeps the bias's
@@ -1243,9 +1293,18 @@ def fused_relpos_attention_block(
     contribute; padded-query rows are garbage and must be re-masked by the
     caller (the ConformerLayer contract, same as fused_relpos_attention).
 
-    `seg_id` enables packed-segment serving (data/packing.py): query t
+    `seg_id` enables packed-segment attention (data/packing.py): query t
     attends key s iff seg_id[t] == seg_id[s] > 0, built in-VMEM from two
-    (B, T) operands. EVAL-ONLY: this path has no VJP and no dropout.
+    (B, T) operands. Supported in BOTH eval and training (packed-segment
+    training): the custom VJP recomputes the segment mask flash-style in
+    the backward, and in-kernel dropout composes with it.
+
+    `score_bf16` (None -> TPU_ASR_ATTN_SCORE_BF16 env, read at trace time):
+    bf16 (T, T) score/softmax tiles — halves the dominant per-program VMEM
+    working set so hpp/bpp can double (fewer, larger programs). Numerics:
+    attention weights round to ~2^-8 relative (fp32-accumulated MXU dots and
+    softmax denominator; tile STORAGE only). Parity bound pinned by
+    tests/test_pallas_attention.py; A/B numbers in ROADMAP round-5.
 
     All (D, D) kernels arrive in the checkpoint layout (Dense (in, out));
     per-head splits/permutations happen here on the tiny parameters, outside
@@ -1254,6 +1313,9 @@ def fused_relpos_attention_block(
     h = n_heads
     dk = d // h
     cdt = x.dtype
+    if score_bf16 is None:
+        import os
+        score_bf16 = os.environ.get("TPU_ASR_ATTN_SCORE_BF16") == "1"
     sin_t, cos_t, _ = position_tables(t, d)
 
     per_head = lambda w: jnp.transpose(w.reshape(d, h, dk),
@@ -1275,16 +1337,11 @@ def fused_relpos_attention_block(
         base = jnp.reshape(dropout_seed.astype(jnp.int32), (-1,))[0]
         seed_rows = (base + jnp.arange(b, dtype=jnp.int32)[:, None] * h
                      + jnp.arange(h, dtype=jnp.int32)[None, :])
-    if seg_id is not None:
-        if dropout_rate > 0.0:
-            raise ValueError("packed-segment attention is eval-only "
-                             "(no dropout)")
-        out = _block_fwd_partitioned_seg(tuple(att_context_size), interpret)(
-            x, wq, wk, wv, cu, cv, bk3, bv3, wev, wod, wo, sin_t, cos_t,
-            key_bias, seed_rows, seg_id.astype(jnp.float32))
-    else:
-        out = _block_core(x, wq, wk, wv, cu, cv, bk3, bv3, wev, wod, wo,
-                          sin_t, cos_t, key_bias, seed_rows,
-                          tuple(att_context_size), float(dropout_rate),
-                          interpret)
+    with_seg = seg_id is not None
+    seg = (seg_id.astype(jnp.float32) if with_seg
+           else jnp.zeros((b, t), jnp.float32))
+    out = _block_core(x, wq, wk, wv, cu, cv, bk3, bv3, wev, wod, wo,
+                      sin_t, cos_t, key_bias, seed_rows, seg,
+                      tuple(att_context_size), float(dropout_rate),
+                      interpret, bool(score_bf16), with_seg)
     return out[:, :t].astype(cdt)
