@@ -1,0 +1,226 @@
+"""Packed-segment TRAINING (round 5; VERDICT r4 next #3).
+
+The packed train step runs the encoder stacks (student + frozen teacher) on
+dense packed rows and gathers per-layer features back into the bucketed
+(B, T', D) layout before the losses — so at dropout=0 every loss and every
+parameter update must EQUAL the unpacked step's (fp32). The reference has no
+equivalent (it pads per duration bucket, ctc_bpe_models.py:98-215).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_asr.config import (DecoderConfig, DistillationConfig, EncoderConfig,
+                            FlowMatchingConfig, ModelConfig, OptimConfig,
+                            PreprocessorConfig, make_student_config)
+from tpu_asr.data.packing import train_pack_arrays
+from tpu_asr.models.distil_model import DistilCTCModel
+from tpu_asr.train.optim import build_optimizer
+from tpu_asr.train.trainer import DistilTrainState, make_distil_train_step
+
+
+def _cfg(attention_backend="xla"):
+    """Deterministic tiny config: dropout 0 everywhere, no specaug, no
+    dither, layer_norm conv (batch_norm statistics see a different padding
+    population under packing — same class of approximation the reference's
+    padded-batch BN makes; layer_norm is positionwise and exact)."""
+    return ModelConfig(
+        preprocessor=PreprocessorConfig(features=24, dither=0.0),
+        spec_augment=None,
+        encoder=EncoderConfig(feat_in=24, n_layers=2, d_model=32, n_heads=4,
+                              conv_kernel_size=7, conv_norm_type="layer_norm",
+                              dropout=0.0, dropout_pre_encoder=0.0,
+                              dropout_att=0.0,
+                              attention_backend=attention_backend),
+        decoder=DecoderConfig(feat_in=32, num_classes=12),
+        compute_dtype="float32",
+    )
+
+
+def _batch(rng, b=4):
+    lens = [16000, 11200, 8000, 13600][:b]
+    samples = max(lens)
+    sig = rng.normal(size=(b, samples)).astype(np.float32) * 0.1
+    for i, ln in enumerate(lens):
+        sig[i, ln:] = 0.0
+    return {
+        "signal": jnp.asarray(sig),
+        "signal_len": jnp.asarray(lens, jnp.int32),
+        "tokens": jnp.asarray(rng.integers(0, 12, size=(b, 8)), jnp.int32),
+        "token_len": jnp.asarray([8, 6, 5, 7][:b], jnp.int32),
+    }
+
+
+def _pk_batch(batch, cfg, t_pack=64):
+    pk, plan = train_pack_arrays(
+        np.asarray(batch["signal_len"]),
+        cfg.preprocessor.n_fft, cfg.preprocessor.hop_length,
+        cfg.encoder.subsampling_factor, cfg.encoder.subsampling,
+        cfg.encoder.conv_kernel_size, t_pack=t_pack)
+    out = dict(batch)
+    out.update({k: jnp.asarray(v) for k, v in pk.items()})
+    return out, plan
+
+
+def _state(model, variables):
+    tx = build_optimizer(OptimConfig(lr=1e-3, sched_name="none", d_model=16),
+                         variables["params"])
+    return DistilTrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=tx)
+
+
+def _distill(mode):
+    if mode == "ctc":
+        return DistillationConfig()
+    if mode == "logit":
+        return DistillationConfig(use_logit_distillation=True, kd_alpha=0.3)
+    if mode == "layer_all":
+        return DistillationConfig(use_layerwise_distillation=True,
+                                  layer_kd_scope="all", layer_kd_alpha=0.2)
+    flow = FlowMatchingConfig(meta_encoder_type="mlp", student_dim=16,
+                              teacher_dim=32, student_head_num=2,
+                              teacher_head_num=4, time_embed_dim=8,
+                              hidden_dim=16, training_sampling=2,
+                              inference_sampling=2)
+    return DistillationConfig(use_logit_distillation=True, kd_alpha=0.3,
+                              use_flow_matching=True, flow=flow)
+
+
+@pytest.mark.parametrize("mode", ["ctc", "logit", "layer_all", "flow"])
+def test_packed_step_exact_parity_with_unpacked(mode):
+    """Same init, same rngs, dropout 0: packed and unpacked steps must give
+    identical losses and parameter updates (fp32; XLA attention path on
+    CPU — the seg-mask semantics live in the shared scores code)."""
+    teacher_cfg = _cfg()
+    student_cfg = make_student_config(teacher_cfg)
+    model = DistilCTCModel(student_cfg, teacher_cfg, _distill(mode))
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "specaug": key, "dropout": key, "gumbel": key,
+         "noise": key},
+        batch["signal"], batch["signal_len"], batch["tokens"],
+        batch["token_len"], train=True)
+
+    step_u = jax.jit(make_distil_train_step(model))
+    s_u, m_u = step_u(_state(model, variables), batch, jax.random.PRNGKey(7))
+
+    batch_p, plan = _pk_batch(batch, student_cfg)
+    assert plan.n_rows < batch["signal"].shape[0]   # actually packs tighter
+    step_p = jax.jit(make_distil_train_step(model, packed=True))
+    s_p, m_p = step_p(_state(model, variables), batch_p,
+                      jax.random.PRNGKey(7))
+
+    # losses match tightly (the forwards are numerically identical)
+    for k in m_u:
+        if k == "grad_norm":
+            np.testing.assert_allclose(np.asarray(m_u[k]),
+                                       np.asarray(m_p[k]), rtol=1e-3,
+                                       err_msg=k)
+        else:
+            np.testing.assert_allclose(np.asarray(m_u[k]),
+                                       np.asarray(m_p[k]),
+                                       rtol=2e-5, atol=1e-6, err_msg=k)
+
+    # raw gradients match to accumulation-order rounding. (Comparing
+    # post-AdamW params would amplify fp noise: the first update is
+    # ~lr*sign(g), so a 1e-7 grad wobble near zero flips a whole +-lr.)
+    rngs = {k: jax.random.fold_in(jax.random.PRNGKey(7), 0)
+            for k in ("specaug", "dropout", "gumbel", "noise")}
+
+    def grads_of(packed_batch, packed_flag):
+        def loss_fn(params):
+            kwargs = dict(train=True, rngs=rngs, mutable=["batch_stats"])
+            if packed_flag:
+                out, _ = model.apply(
+                    {"params": params}, packed_batch["signal"],
+                    packed_batch["signal_len"], packed_batch["tokens"],
+                    packed_batch["token_len"], packed_batch["pk_src_utt"],
+                    packed_batch["pk_src_pos"], packed_batch["pk_seg"],
+                    packed_batch["pk_row"], packed_batch["pk_start"],
+                    method=DistilCTCModel.forward_packed_train, **kwargs)
+            else:
+                out, _ = model.apply(
+                    {"params": params}, packed_batch["signal"],
+                    packed_batch["signal_len"], packed_batch["tokens"],
+                    packed_batch["token_len"], **kwargs)
+            return out.losses["total"]
+        params = dict(variables["params"])
+        if "teacher" in params:      # ctc-only: the teacher never ran
+            params["teacher"] = jax.lax.stop_gradient(params["teacher"])
+        return jax.jit(jax.grad(loss_fn))(params)["student"]
+
+    g_u = grads_of(batch, False)
+    g_p = grads_of(batch_p, True)
+    scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_u))
+    for a, b in zip(jax.tree.leaves(g_u), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-4)
+
+
+def test_packed_step_pallas_interpret_close():
+    """Same parity through the Pallas block-attention kernel (interpret mode
+    on CPU; bf16 kernel operands -> loose tolerance)."""
+    import os
+
+    os.environ["TPU_ASR_PALLAS_INTERPRET"] = "1"
+    try:
+        teacher_cfg = _cfg(attention_backend="pallas")
+        student_cfg = make_student_config(teacher_cfg)
+        model = DistilCTCModel(student_cfg, teacher_cfg, _distill("logit"))
+        rng = np.random.default_rng(1)
+        batch = _batch(rng, b=3)
+        key = jax.random.PRNGKey(0)
+        variables = model.init(
+            {"params": key, "specaug": key, "dropout": key, "gumbel": key,
+             "noise": key},
+            batch["signal"], batch["signal_len"], batch["tokens"],
+            batch["token_len"], train=True)
+        step_u = jax.jit(make_distil_train_step(model))
+        s_u, m_u = step_u(_state(model, variables), batch,
+                          jax.random.PRNGKey(7))
+        batch_p, _ = _pk_batch(batch, student_cfg)
+        step_p = jax.jit(make_distil_train_step(model, packed=True))
+        s_p, m_p = step_p(_state(model, variables), batch_p,
+                          jax.random.PRNGKey(7))
+        np.testing.assert_allclose(np.asarray(m_u["loss/total"]),
+                                   np.asarray(m_p["loss/total"]),
+                                   rtol=5e-3)
+    finally:
+        del os.environ["TPU_ASR_PALLAS_INTERPRET"]
+
+
+def test_packed_step_with_dropout_trains():
+    """Dropout on (statistically different masks than unpacked — the packed
+    layout has its own per-(row, head) streams): the step must run, produce
+    finite loss/grads, and decrease loss over a few steps."""
+    import dataclasses
+
+    teacher_cfg = _cfg()
+    teacher_cfg = dataclasses.replace(
+        teacher_cfg, encoder=dataclasses.replace(
+            teacher_cfg.encoder, dropout=0.1, dropout_att=0.1))
+    student_cfg = make_student_config(teacher_cfg)
+    model = DistilCTCModel(student_cfg, teacher_cfg, _distill("ctc"))
+    rng = np.random.default_rng(2)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "specaug": key, "dropout": key, "gumbel": key,
+         "noise": key},
+        batch["signal"], batch["signal_len"], batch["tokens"],
+        batch["token_len"], train=True)
+    batch_p, _ = _pk_batch(batch, student_cfg)
+    step_p = jax.jit(make_distil_train_step(model, packed=True))
+    state = _state(model, variables)
+    losses = []
+    for i in range(6):
+        state, metrics = step_p(state, batch_p, jax.random.PRNGKey(3))
+        losses.append(float(metrics["loss/total"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

@@ -146,14 +146,34 @@ def test_packed_forward_matches_per_utterance(packed_model):
             g[i], np.argmax(ref_logp[i, :lengths[i]], axis=-1))
 
 
-def test_packed_rejects_training_and_reduction(packed_model):
+def test_packed_training_supported_reduction_rejected(packed_model):
+    """Round-5: seg_id + train is SUPPORTED (packed-segment training,
+    VERDICT r4 next #3); mid-stack reduction stays rejected (pooling would
+    merge frames across segments)."""
+    import dataclasses
+
+    from tpu_asr.models.ctc_model import CTCModel
+
     model, variables, _ = packed_model
-    x = jnp.zeros((1, 16, 32), jnp.float32)
-    seg = jnp.ones((1, 16), jnp.int32)
-    enc = model.bind(variables).encoder
-    with pytest.raises(ValueError):
-        enc(x, jnp.asarray([16], jnp.int32), train=True,
+    x = jnp.zeros((2, 16, 32), jnp.float32)
+    seg = jnp.ones((2, 16), jnp.int32)
+    enc = model.bind(variables,
+                     rngs={"dropout": jax.random.PRNGKey(0),
+                           "layerdrop": jax.random.PRNGKey(1)}).encoder
+    y = enc(x, jnp.asarray([16, 16], jnp.int32), train=True,
             bypass_pre_encode=True, seg_id=seg)
+    assert np.all(np.isfinite(np.asarray(y[0])))
+
+    red_cfg = dataclasses.replace(
+        model.cfg, encoder=dataclasses.replace(
+            model.cfg.encoder, reduction="pooling", reduction_factor=2))
+    red = CTCModel(red_cfg)
+    vs = red.init({"params": jax.random.PRNGKey(0)},
+                  jnp.zeros((1, 8000), jnp.float32),
+                  jnp.asarray([8000], jnp.int32), train=False)
+    with pytest.raises(ValueError):
+        red.bind(vs).encoder(x, jnp.asarray([16, 16], jnp.int32),
+                             train=False, bypass_pre_encode=True, seg_id=seg)
 
 
 def test_packed_transcriber_matches_plain(packed_model):

@@ -45,7 +45,7 @@ def test_cached_step_matches_harvest_step(distill):
     harvest = jax.jit(make_distil_train_step(model, harvest_teacher=True))
     cached = jax.jit(make_distil_train_step(model, cached_teacher=True))
 
-    s1, m1, (tch_last, enc_len) = harvest(_state(model, variables), batch, rng)
+    s1, m1, (tch_last, _tf, enc_len) = harvest(_state(model, variables), batch, rng)
     assert tch_last is not None and tch_last.shape[0] == batch["signal"].shape[0]
 
     batch2 = dict(batch)
@@ -56,6 +56,122 @@ def test_cached_step_matches_harvest_step(distill):
         np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
                                    rtol=1e-6, atol=1e-7, err_msg=k)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("distill_mode", ["flow", "layer_all"])
+def test_all_layer_cached_step_matches_harvest_step(distill_mode):
+    """The ALL-layer cache (cached_all_layers / batch['tch_all_feat'])
+    covers the KD modes the last-layer cache cannot: one harvest step ==
+    one cached step fed the full (L, B, T', Dt) stack — identical losses
+    and parameter updates (fp32)."""
+    from tpu_asr.config import FlowMatchingConfig
+
+    if distill_mode == "flow":
+        flow = FlowMatchingConfig(meta_encoder_type="mlp", student_dim=16,
+                                  teacher_dim=32, student_head_num=2,
+                                  teacher_head_num=4, time_embed_dim=8,
+                                  hidden_dim=16, training_sampling=2,
+                                  inference_sampling=2)
+        distill = DistillationConfig(use_logit_distillation=True,
+                                     kd_alpha=0.3, use_flow_matching=True,
+                                     flow=flow)
+    else:
+        distill = DistillationConfig(use_layerwise_distillation=True,
+                                     layer_kd_scope="all",
+                                     layer_kd_alpha=0.2)
+    model, variables, batch = _setup(distill=distill)
+    rng = jax.random.PRNGKey(7)
+    harvest = jax.jit(make_distil_train_step(model, harvest_teacher=True))
+    cached = jax.jit(make_distil_train_step(model, cached_all_layers=True))
+
+    s1, m1, (tch_last, tch_feats, enc_len) = harvest(
+        _state(model, variables), batch, rng)
+    assert tch_feats is not None
+    assert tch_feats.shape[1] == batch["signal"].shape[0]
+
+    batch2 = dict(batch)
+    # batch-major (B, L, T', Dt): the dp-sharded feed splits on axis 0
+    batch2["tch_all_feat"] = jnp.transpose(tch_feats, (1, 0, 2, 3))
+    s2, m2 = cached(_state(model, variables), batch2, rng)
+
+    for k in m1:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_trainer_fit_cache_teacher_all_equivalence(tmp_path):
+    """Trainer.fit with cache_teacher_all (disk spill dir) over a flowkd
+    config == the uncached run: identical final params (fp32), per-utt .npy
+    files written, cached step exercised in epoch 1."""
+    from tests.test_loop import corpus as _unused  # noqa: F401
+    from tests.test_loop import _small_cfg, TEXTS
+    from tpu_asr.data.audio import write_wav
+    from tpu_asr.data.manifest import ManifestEntry, write_manifest
+    from tpu_asr.data.tokenizer import train_bpe
+    from tpu_asr.config import DataConfig, FlowMatchingConfig
+    from tpu_asr.train.loop import Trainer
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    entries = []
+    for i, text in enumerate(TEXTS):
+        dur = 0.8 + 0.1 * i
+        x = (rng.normal(size=int(16000 * dur)) * 0.1).astype(np.float32)
+        p = root / f"utt{i}.wav"
+        write_wav(p, x, 16000)
+        entries.append(ManifestEntry(str(p), dur, text))
+    man = root / "train.jsonl"
+    write_manifest(man, entries)
+    tok = train_bpe(TEXTS * 5, vocab_size=48)
+
+    teacher_cfg = _small_cfg(48)
+    student_cfg = make_student_config(teacher_cfg)
+    flow = FlowMatchingConfig(meta_encoder_type="mlp", student_dim=16,
+                              teacher_dim=32, student_head_num=2,
+                              teacher_head_num=4, time_embed_dim=8,
+                              hidden_dim=16, training_sampling=2,
+                              inference_sampling=2)
+    distill = DistillationConfig(use_logit_distillation=True, kd_alpha=0.3,
+                                 use_flow_matching=True, flow=flow)
+
+    def run(cache: bool, workdir):
+        model = DistilCTCModel(student_cfg, teacher_cfg, distill)
+        cfg = TrainConfig(
+            model=student_cfg, distillation=distill,
+            optim=OptimConfig(lr=1e-3, sched_name="none", d_model=16),
+            train_ds=DataConfig(batch_size=3, shuffle=False),
+            max_epochs=2, cache_teacher_all=cache,
+            cache_teacher_dir=str(workdir / "tcache") if cache else None,
+            dp_size=1)
+        trainer = Trainer(model, cfg, tok, workdir, log_every=100)
+        n_cached = 0
+        if cache:
+            orig = trainer._train_step_cached
+
+            def counting(*a, **kw):
+                nonlocal n_cached
+                n_cached += 1
+                return orig(*a, **kw)
+
+            trainer._train_step_cached = counting
+        state = trainer.fit(str(man), rng_seed=0)
+        return state, trainer, n_cached
+
+    s_off, _, _ = run(False, tmp_path / "off")
+    s_on, tr_on, n_cached = run(True, tmp_path / "on")
+
+    spill = list((tmp_path / "on" / "tcache").glob("*.npy"))
+    assert len(spill) == len(TEXTS)
+    assert n_cached > 0, "all-layer cached step never ran in epoch 1"
+    assert int(s_on.step) == int(s_off.step)
+    for a, b in zip(jax.tree.leaves(s_off.params),
+                    jax.tree.leaves(s_on.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
 

@@ -102,6 +102,82 @@ def test_train_step_decreases_loss_and_freezes_teacher():
     assert int(state.step) == 8
 
 
+def test_train_step_with_int8_teacher():
+    """--teacher_int8: the FROZEN teacher forward runs the int8 serving path
+    inside the KD train step (value_and_grad). Gradients stop at the teacher
+    PARAMS (trainer.loss_fn), so the eval-only int8 kernels never need a
+    VJP; student grads must stay close to the fp-teacher step's (the int8
+    error only perturbs the KD targets)."""
+    import dataclasses
+
+    teacher_cfg, student_cfg = _tiny_cfg()
+    teacher_q = dataclasses.replace(
+        teacher_cfg, encoder=dataclasses.replace(teacher_cfg.encoder,
+                                                 quantization="int8"))
+    d = DistillationConfig(use_logit_distillation=True, kd_alpha=0.5)
+    rng = np.random.default_rng(1)
+    batch = {
+        "signal": jnp.asarray(
+            rng.normal(size=(2, 8000)).astype(np.float32) * 0.1),
+        "signal_len": jnp.full((2,), 8000, jnp.int32),
+        "tokens": jnp.asarray(rng.integers(0, 12, size=(2, 6)), jnp.int32),
+        "token_len": jnp.full((2,), 6, jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    rngs = {"params": key, "specaug": key, "dropout": key, "gumbel": key,
+            "noise": key}
+
+    grads, losses = {}, {}
+    for tag, tcfg in [("fp", teacher_cfg), ("int8", teacher_q)]:
+        model = DistilCTCModel(student_cfg, tcfg, d)
+        variables = model.init(rngs, batch["signal"], batch["signal_len"],
+                               batch["tokens"], batch["token_len"],
+                               train=True)
+        tx = build_optimizer(OptimConfig(lr=1e-3, sched_name="none",
+                                         d_model=16), variables["params"])
+        state = DistilTrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}), tx=tx)
+        # the full train step (incl. the VJP-less int8 path inside
+        # value_and_grad) must execute and leave the teacher frozen
+        step = jax.jit(make_distil_train_step(model))
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        assert np.isfinite(float(metrics["loss/total"]))
+        for a, b in zip(jax.tree.leaves(state.params["teacher"]),
+                        jax.tree.leaves(new_state.params["teacher"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # raw student grads (optimizer-free — AdamW's first step saturates
+        # every update to +-lr, which would hide the comparison)
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                batch["signal"], batch["signal_len"], batch["tokens"],
+                batch["token_len"], train=True,
+                rngs={k: jax.random.PRNGKey(7) for k in
+                      ("specaug", "dropout", "gumbel", "noise")},
+                mutable=["batch_stats"])
+            return out.losses["total"]
+
+        params = {**variables["params"],
+                  "teacher": jax.lax.stop_gradient(
+                      variables["params"]["teacher"])}
+        loss, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+        losses[tag] = float(loss)
+        grads[tag] = jax.tree.map(np.asarray, g["student"])
+
+    # same init, same rng stream: the int8 teacher perturbs only the KD
+    # target, so loss and student grads stay close to the fp run
+    assert abs(losses["int8"] - losses["fp"]) / abs(losses["fp"]) < 0.05
+    # per-leaf deltas against the GLOBAL gradient scale (per-leaf ratios are
+    # meaningless on near-zero-grad leaves, where fp noise dominates)
+    scale = max(np.abs(g).max() for g in jax.tree.leaves(grads["fp"]))
+    for g_fp, g_q in zip(jax.tree.leaves(grads["fp"]),
+                         jax.tree.leaves(grads["int8"])):
+        assert np.abs(g_q - g_fp).max() / scale < 0.35
+
+
 def test_dp_train_step_on_virtual_mesh():
     """Full KD train step jitted over an 8-device data mesh — replicated state,
     batch sharded on `data`; result must match the semantics (finite loss,

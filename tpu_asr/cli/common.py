@@ -86,6 +86,17 @@ def add_common_data_args(p: argparse.ArgumentParser):
     # last-layer features per utterance after epoch 0 and skip the teacher
     # forward — exact for logit/last-layerwise KD (TrainConfig.cache_teacher)
     p.add_argument("--cache_teacher", action="store_true")
+    # all-layer variant: covers FM/DiffKD/diffm/full-layerwise too
+    # (TrainConfig.cache_teacher_all); --cache_teacher_dir spills per-utt
+    # .npy files to disk instead of host RAM
+    p.add_argument("--cache_teacher_all", action="store_true")
+    p.add_argument("--cache_teacher_dir", type=str, default=None)
+    # framework knob (no reference equivalent): run the FROZEN teacher's
+    # forward through the int8 serving path (EncoderConfig.quantization=
+    # 'int8' — fused int8 FFN kernel on TPU, ops/pallas_ffn.py). Numerics-
+    # changing for the KD targets only (teacher features feed MSE/KL
+    # losses, never the CTC path); the student always trains full-precision
+    p.add_argument("--teacher_int8", action="store_true")
     # offline extensions
     p.add_argument("--train_manifest", type=str, default=None)
     p.add_argument("--val_manifest", type=str, default=None)
@@ -390,6 +401,12 @@ def run_training(args, corpus: str = "librispeech",
         student_cfg = teacher_cfg          # teacher-baseline training (R1 path)
     else:
         student_cfg = make_student_config(teacher_cfg)
+    # AFTER the student derivation: the student clones the teacher config
+    # and must stay full-precision — only the frozen teacher serves int8
+    if getattr(args, "teacher_int8", False) and not train_teacher:
+        teacher_cfg = dataclasses.replace(
+            teacher_cfg, encoder=dataclasses.replace(
+                teacher_cfg.encoder, quantization="int8"))
     distill = assemble_distill_config(args, student_cfg, teacher_cfg,
                                       diffm_version)
     model = DistilCTCModel(student_cfg, teacher_cfg, distill)
@@ -406,6 +423,8 @@ def run_training(args, corpus: str = "librispeech",
         max_epochs=args.epochs,
         steps_per_dispatch=args.steps_per_dispatch,
         cache_teacher=getattr(args, "cache_teacher", False),
+        cache_teacher_all=getattr(args, "cache_teacher_all", False),
+        cache_teacher_dir=getattr(args, "cache_teacher_dir", None),
         dp_size=args.gpus if args.gpus and args.gpus > 0 else -1)
 
     workdir = Path(args.output_dir) / (os.getenv("EXP_NAME") or "run")

@@ -388,6 +388,17 @@ class TrainConfig:
     # Only valid for logit KD / last-scope layerwise KD (the other KD modes
     # need all 16 teacher layers); ~150 KB x utterances of host RAM.
     cache_teacher: bool = False
+    # ALL-layer teacher cache: harvest the full (L, T', Dt) per-layer teacher
+    # feature stack per utterance instead of only the last layer — the same
+    # determinism argument covers EVERY KD mode (FM, DiffKD, diffm,
+    # full-layerwise). Cost: ~2.2 MB/utt fp16 at flagship dims (d176 x 16L x
+    # T'=376) — set cache_teacher_dir to spill to disk (mmap reads) instead
+    # of host RAM, and mind the host->device feed: the assembled
+    # (B, L, T', Dt) tensor is ~70 MB/step at batch 32, so this pays only
+    # where host->device bandwidth beats re-running the teacher (~11 ms of
+    # TPU compute at flagship). Measured numbers in ROADMAP round-5.
+    cache_teacher_all: bool = False
+    cache_teacher_dir: Optional[str] = None
     # parallelism
     dp_size: int = -1      # -1: all devices on the data axis
     tp_size: int = 1

@@ -69,12 +69,14 @@ class PackPlan:
 
 
 def plan_packing(lengths: Sequence[int], t_pack: int, guard: int,
-                 row_multiple: int = 1) -> PackPlan:
+                 row_multiple: int = 1,
+                 pad_rows_to: int = 0) -> PackPlan:
     """First-fit-decreasing bin packing of segments of `lengths` frames into
     rows of `t_pack` frames with `guard` zeroed frames between consecutive
     segments (none before the first or after the last). `row_multiple` pads
     the row count up (recompilation control: jit sees a few row-batch shapes
-    instead of every integer)."""
+    instead of every integer); `pad_rows_to` forces an exact row count (one
+    static shape across training batches)."""
     lengths = np.asarray(lengths, np.int64)
     n = len(lengths)
     if n and int(lengths.max()) > t_pack:
@@ -99,6 +101,11 @@ def plan_packing(lengths: Sequence[int], t_pack: int, guard: int,
             cursors.append(ln)
     n_rows = max(len(cursors), 1)
     n_rows = -(-n_rows // row_multiple) * row_multiple
+    if pad_rows_to:
+        if len(cursors) > pad_rows_to:
+            raise ValueError(f"packing needs {len(cursors)} rows > "
+                             f"pad_rows_to={pad_rows_to}")
+        n_rows = pad_rows_to
 
     seg_id = np.zeros((n_rows, t_pack), np.int32)
     src_utt = np.zeros((n_rows, t_pack), np.int32)
@@ -125,6 +132,34 @@ def pack_frames(feats, plan: PackPlan):
     packed = feats[plan.src_utt, plan.src_pos]
     valid = jnp.asarray(plan.seg_id > 0)
     return jnp.where(valid[..., None], packed, 0)
+
+
+def train_pack_arrays(signal_lens, n_fft: int, hop_length: int,
+                      subsampling_factor: int, subsampling: str,
+                      conv_kernel_size: int, t_pack: int,
+                      row_multiple: int = 1, pad_rows_to: int = 0):
+    """Packed-TRAINING plan for one batch, computed host-side from the
+    DETERMINISTIC length arithmetic (stft_seq_len -> subsampled_length —
+    no model execution needed). Returns a dict of np arrays to merge into
+    the batch (train/trainer.make_distil_train_step(packed=True)):
+    pk_src_utt/pk_src_pos/pk_seg (R, Tp) and pk_row/pk_start (B,)."""
+    from tpu_asr.models.conformer import subsampled_length
+    from tpu_asr.ops.features import stft_seq_len
+
+    lens = np.asarray(signal_lens, np.int64)
+    frames = np.asarray(stft_seq_len(lens, n_fft, hop_length))
+    enc = np.asarray(subsampled_length(frames, subsampling_factor,
+                                       subsampling))
+    plan = plan_packing(enc, t_pack=t_pack,
+                        guard=guard_frames(conv_kernel_size),
+                        row_multiple=row_multiple, pad_rows_to=pad_rows_to)
+    return {
+        "pk_src_utt": plan.src_utt.astype(np.int32),
+        "pk_src_pos": plan.src_pos.astype(np.int32),
+        "pk_seg": plan.seg_id.astype(np.int32),
+        "pk_row": plan.row.astype(np.int32),
+        "pk_start": plan.start.astype(np.int32),
+    }, plan
 
 
 def unpack_rows(rows, plan: PackPlan) -> List[np.ndarray]:

@@ -904,9 +904,9 @@ class ConformerEncoder(nn.Module):
         x = nn.Dropout(c.dropout_pre_encoder, deterministic=not train)(x)
 
         if seg_id is not None:
-            if train or cache is not None:
-                raise ValueError("packed-segment encoding (seg_id) is an "
-                                 "eval/serving path (no train, no streaming)")
+            if cache is not None:
+                raise ValueError("packed-segment encoding (seg_id) is "
+                                 "incompatible with streaming caches")
             if c.reduction is not None and c.reduction_factor > 1:
                 raise ValueError("packed-segment encoding is incompatible "
                                  "with mid-stack time reduction (pooling "

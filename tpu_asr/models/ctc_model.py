@@ -98,6 +98,31 @@ class CTCModel(nn.Module):
         log_probs = self.decoder(encoded)
         return log_probs, jnp.argmax(log_probs, axis=-1)
 
+    def pre_encode_aug(self, input_signal, input_signal_length,
+                       train: bool = False):
+        """Featurize (+dither/specaug when `train`) + subsampling pre-encode:
+        (B, L) waveform -> raw (B, T_src, D) embeddings + lengths. The
+        packed-TRAINING split point: per-utterance augmentation happens here,
+        BEFORE frames are gathered into packed rows (data/packing.py)."""
+        rng = self.make_rng("specaug") if train else None
+        feats, feat_len = self.featurizer(
+            input_signal, input_signal_length, train=train, rng=rng)
+        if train and self.cfg.spec_augment is not None:
+            feats = spec_augment(feats, feat_len, self.cfg.spec_augment,
+                                 self.make_rng("specaug"))
+        return self.encoder(feats, feat_len, train=train,
+                            pre_encode_only=True)
+
+    def encode_packed(self, packed: jnp.ndarray, seg_id: jnp.ndarray,
+                      train: bool = False):
+        """Packed-segment encoder pass (training or eval): (R, Tp, D) packed
+        pre-encoded rows -> (encoded (R, Tp, D), row_len (R,), layer_feats
+        (L, R, Tp, D)). Training runs in-kernel attention dropout + the
+        custom-VJP segment backward (ops/pallas_attention.py)."""
+        dummy_len = jnp.zeros((packed.shape[0],), jnp.int32)
+        return self.encoder(packed, dummy_len, train=train,
+                            bypass_pre_encode=True, seg_id=seg_id)
+
     def stream_step(
         self,
         processed_signal: jnp.ndarray,        # (B, F, Tc_raw + pre_ctx) mel chunk

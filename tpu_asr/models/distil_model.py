@@ -57,6 +57,10 @@ class DistilOutput(NamedTuple):
     # teacher last-layer feature (B, T', Dt) when the teacher ran in-graph —
     # harvested by the teacher-feature cache (train/loop.py); None otherwise
     tch_last: Optional[jnp.ndarray] = None
+    # ALL teacher layer features (L, B, T', Dt) when the teacher ran —
+    # harvested by the all-layer cache (covers FM/DiffKD/diffm/full-layerwise
+    # KD, which the last-layer cache cannot); None otherwise
+    tch_feats: Optional[jnp.ndarray] = None
 
 
 class DistilCTCModel(nn.Module):
@@ -190,6 +194,7 @@ class DistilCTCModel(nn.Module):
         transcript_lengths: Optional[jnp.ndarray] = None,
         train: bool = False,
         tch_last_feat: Optional[jnp.ndarray] = None,     # (B, T', Dt) cached
+        tch_all_feat: Optional[jnp.ndarray] = None,      # (L, B, T', Dt)
     ) -> DistilOutput:
         """`tch_last_feat`: cached teacher last-layer features (the teacher-
         feature cache, train/loop.py). The reference teacher consumes the
@@ -199,14 +204,91 @@ class DistilCTCModel(nn.Module):
         with bit-identical loss semantics (pad rows are exactly zero after
         the encoder's final re-mask, so decode_logits reproduces the padded-
         frame log-probs too). Only valid when the teacher's sole consumers
-        are logit KD and/or last-scope layerwise KD."""
+        are logit KD and/or last-scope layerwise KD.
+
+        `tch_all_feat`: ALL per-layer cached teacher features (L, B, T', Dt)
+        — same determinism argument, covers every KD mode (the all-layer
+        teacher cache, train/loop.py)."""
         # ----- student encode -----
         encoded, encoded_len, stu_feats = self.student.encode(
             input_signal, input_signal_length, train=train)
         return self.forward_with_student_encode(
             encoded, encoded_len, stu_feats, input_signal,
             input_signal_length, transcripts, transcript_lengths,
-            train=train, tch_last_feat=tch_last_feat)
+            train=train, tch_last_feat=tch_last_feat,
+            tch_all_feat=tch_all_feat)
+
+    def forward_packed_train(
+        self,
+        input_signal: jnp.ndarray,          # (B, L) waveform
+        input_signal_length: jnp.ndarray,   # (B,)
+        transcripts: Optional[jnp.ndarray],
+        transcript_lengths: Optional[jnp.ndarray],
+        pk_src_utt: jnp.ndarray,            # (R, Tp) utt index per frame
+        pk_src_pos: jnp.ndarray,            # (R, Tp) source frame position
+        pk_seg: jnp.ndarray,                # (R, Tp) segment map, 0 = guard
+        pk_row: jnp.ndarray,                # (B,) packed row of utt b
+        pk_start: jnp.ndarray,              # (B,) start frame of utt b
+        train: bool = True,
+    ) -> DistilOutput:
+        """Packed-segment KD TRAINING step forward (round 5; the reference
+        pads per duration bucket — ctc_bpe_models.py:98-215 — and has no
+        equivalent). The encoder stacks (student AND frozen teacher, ~85% of
+        step FLOPs) run on dense packed rows (data/packing.py plan arrays,
+        computed host-side from the deterministic length arithmetic);
+        per-layer features are then gathered back into the bucketed
+        (B, T', D) layout, so every loss in forward_with_student_encode is
+        computed on tensors IDENTICAL to the unpacked step's — exact loss
+        parity at dropout=0 (tests/test_packed_train.py).
+
+        Notes: with conv_norm_type='batch_norm' the BN batch statistics are
+        computed over the packed layout (guard instead of bucket padding —
+        a different padding population, same class of approximation as the
+        reference's padded-batch BN); 'layer_norm' is exact. Plan arrays
+        must be shard-local under dp (pack each shard's utterances into its
+        own row block)."""
+        d = self.distill
+        # --- student: per-utterance featurize (+specaug) + pre-encode ---
+        x_src, enc_len = self.student.pre_encode_aug(
+            input_signal, input_signal_length, train=train)
+        t_prime = x_src.shape[1]
+        t_pack = pk_seg.shape[1]
+        valid_rows = pk_seg > 0
+        packed = jnp.where(valid_rows[..., None],
+                           x_src[pk_src_utt, pk_src_pos], 0)
+        encoded_p, _, stu_feats_p = self.student.encode_packed(
+            packed, pk_seg, train=train)
+
+        # --- gather back to the bucketed per-utterance layout ---
+        pos = pk_start[:, None] + jnp.arange(t_prime)[None, :]     # (B, T')
+        pos_c = jnp.minimum(pos, t_pack - 1)
+        valid = jnp.arange(t_prime)[None, :] < enc_len[:, None]
+        encoded_u = jnp.where(valid[..., None],
+                              encoded_p[pk_row[:, None], pos_c], 0)
+        stu_feats_u = jnp.where(valid[None, ..., None],
+                                stu_feats_p[:, pk_row[:, None], pos_c], 0)
+
+        # --- frozen teacher: packed too (eval mode, same plan — the
+        #     teacher's subsampled lengths equal the student's) ---
+        needs_teacher = self._needs_teacher_encoder if train else (
+            d.use_flow_matching and d.flow is not None
+            and d.flow.use_dynamic_steps)
+        tch_all = None
+        if needs_teacher:
+            xt_src, _ = self.teacher.pre_encode_aug(
+                input_signal, input_signal_length, train=False)
+            packed_t = jnp.where(valid_rows[..., None],
+                                 xt_src[pk_src_utt, pk_src_pos], 0)
+            _, _, tch_feats_p = self.teacher.encode_packed(
+                packed_t, pk_seg, train=False)
+            tch_all = jnp.where(valid[None, ..., None],
+                                tch_feats_p[:, pk_row[:, None], pos_c], 0)
+            tch_all = jax.lax.stop_gradient(tch_all)
+
+        return self.forward_with_student_encode(
+            encoded_u, enc_len, stu_feats_u, input_signal,
+            input_signal_length, transcripts, transcript_lengths,
+            train=train, tch_all_feat=tch_all)
 
     def forward_with_student_encode(
         self,
@@ -219,11 +301,19 @@ class DistilCTCModel(nn.Module):
         transcript_lengths: Optional[jnp.ndarray] = None,
         train: bool = False,
         tch_last_feat: Optional[jnp.ndarray] = None,
+        tch_all_feat: Optional[jnp.ndarray] = None,
     ) -> DistilOutput:
         """Everything after the student encode: teacher forward + every KD
         loss + decode. Split out so alternative student-encode executions
-        (the GPipe pipeline, parallel/pipeline.py) reuse the loss semantics
-        verbatim."""
+        (the GPipe pipeline, parallel/pipeline.py; the packed-segment train
+        step, forward_packed_train) reuse the loss semantics verbatim.
+
+        `tch_all_feat` (L, B, T', Dt): precomputed per-layer teacher
+        features — from the all-layer teacher cache (train/loop.py) or a
+        packed teacher forward. Unlike `tch_last_feat` it covers EVERY
+        teacher consumer (FM, DiffKD, diffm, full-layerwise): the teacher
+        input is unaugmented and eval-mode (asr_train.py:591-592), so the
+        full feature stack is deterministic per utterance."""
         d = self.distill
         losses: Dict[str, jnp.ndarray] = {}
         metrics: Dict[str, jnp.ndarray] = {}
@@ -237,7 +327,12 @@ class DistilCTCModel(nn.Module):
         tch_feats = None
         tch_encoded = None
         tch_last = None
-        if tch_last_feat is not None:
+        if tch_all_feat is not None:
+            tch_feats = jax.lax.stop_gradient(
+                tch_all_feat.astype(encoded.dtype))
+            tch_last = tch_feats[-1]
+            needs_teacher = False
+        elif tch_last_feat is not None:
             cacheable = not (
                 d.use_flow_matching or d.use_diffkd or d.use_diffm
                 or (d.use_layerwise_distillation
@@ -367,4 +462,5 @@ class DistilCTCModel(nn.Module):
             total = total + v
         losses["total"] = total
         return DistilOutput(log_probs, encoded_len, greedy, losses, metrics,
-                            tch_last=tch_last if needs_teacher else None)
+                            tch_last=tch_last if needs_teacher else None,
+                            tch_feats=tch_feats if needs_teacher else None)

@@ -76,31 +76,78 @@ class MetricsLogger:
 
 
 class TeacherFeatureCache:
-    """Host-RAM store of per-utterance frozen-teacher last-layer features
+    """Host store of per-utterance frozen-teacher features
     (models/distil_model.py `tch_last_feat` docstring: the teacher input is
     unaugmented and eval-mode, so these are deterministic — caching them is
     semantics-preserving). fp16 under a bf16 compute path is a lossless
-    widening; fp32 compute stores fp32."""
+    widening; fp32 compute stores fp32.
 
-    def __init__(self, dtype):
+    `all_layers=True` stores the full per-layer stack (L, T_i, Dt) per
+    utterance — covers every KD mode (FM/DiffKD/diffm/full-layerwise).
+    `spill_dir` writes each utterance to <dir>/<idx>.npy and reads back via
+    mmap instead of holding everything in RAM (~2.2 MB/utt fp16 at flagship
+    dims)."""
+
+    def __init__(self, dtype, all_layers: bool = False,
+                 spill_dir: Optional[str] = None):
         self.dtype = dtype
-        self.data = {}        # utt idx -> (T_i, Dt) np array
+        self.all_layers = all_layers
+        self.spill_dir = spill_dir
+        if spill_dir:
+            Path(spill_dir).mkdir(parents=True, exist_ok=True)
+        self.data = {}        # utt idx -> array ((T_i, Dt) or (L, T_i, Dt))
+        self._on_disk = set()
         self.tprime = {}      # padded signal length -> encoded T'
 
     def has_all(self, idxs) -> bool:
-        return all(int(i) in self.data for i in idxs)
+        return all(int(i) in self.data or int(i) in self._on_disk
+                   for i in idxs)
+
+    def _store(self, i: int, arr: np.ndarray) -> None:
+        if self.spill_dir:
+            path = Path(self.spill_dir) / f"{i}.npy"
+            tmp = path.with_suffix(f".tmp{i}")
+            with open(tmp, "wb") as f:
+                np.save(f, arr)
+            tmp.rename(path)
+            self._on_disk.add(i)
+        else:
+            self.data[i] = arr
+
+    def _load(self, i: int) -> np.ndarray:
+        if i in self.data:
+            return self.data[i]
+        return np.load(Path(self.spill_dir) / f"{i}.npy", mmap_mode="r")
 
     def put_batch(self, idxs, feats, lengths, l_pad: int) -> None:
-        self.tprime[l_pad] = int(feats.shape[1])
+        """feats: (B, T', Dt) last-layer, or (L, B, T', Dt) all-layer."""
+        t_axis = 2 if self.all_layers else 1
+        self.tprime[l_pad] = int(feats.shape[t_axis])
         for r, i in enumerate(idxs):
             i = int(i)
-            if i not in self.data:
-                self.data[i] = feats[r, : int(lengths[r])].astype(self.dtype)
+            if i in self.data or i in self._on_disk:
+                continue
+            if self.all_layers:
+                self._store(i, np.asarray(
+                    feats[:, r, : int(lengths[r])]).astype(self.dtype))
+            else:
+                self._store(i, np.asarray(
+                    feats[r, : int(lengths[r])]).astype(self.dtype))
 
     def assemble(self, idxs, t_prime: int, d_t: int) -> np.ndarray:
+        """Last-layer: (B, T', Dt). All-layer: (B, L, T', Dt) — batch-major
+        so the dp-sharded host->device feed splits on axis 0."""
+        if self.all_layers:
+            first = self._load(int(idxs[0]))
+            n_l = first.shape[0]
+            out = np.zeros((len(idxs), n_l, t_prime, d_t), self.dtype)
+            for r, i in enumerate(idxs):
+                f = self._load(int(i))
+                out[r, :, : f.shape[1]] = f
+            return out
         out = np.zeros((len(idxs), t_prime, d_t), self.dtype)
         for r, i in enumerate(idxs):
-            f = self.data[int(i)]
+            f = self._load(int(i))
             out[r, : f.shape[0]] = f
         return out
 
@@ -126,20 +173,22 @@ class Trainer:
         self._multi_step = jax.jit(make_distil_multi_step(model))
         self._eval_step = jax.jit(make_distil_eval_step(model))
         self._cache: Optional[TeacherFeatureCache] = None
-        if cfg.cache_teacher:
+        if cfg.cache_teacher or cfg.cache_teacher_all:
             d = model.distill
             teacher_used = (d.use_logit_distillation
                             or d.use_layerwise_distillation or
                             d.use_flow_matching or d.use_diffkd or d.use_diffm)
-            cacheable = teacher_used and not (
+            # the ALL-layer cache covers every KD mode; the last-layer cache
+            # only logit KD / last-scope layerwise KD
+            cacheable = teacher_used and (cfg.cache_teacher_all or not (
                 d.use_flow_matching or d.use_diffkd or d.use_diffm
                 or (d.use_layerwise_distillation
-                    and d.layer_kd_scope != "last"))
+                    and d.layer_kd_scope != "last")))
             if teacher_used and not cacheable:
                 raise ValueError(
                     "cache_teacher supports only logit KD / last-scope "
                     "layerwise KD (FM/DiffKD/diffm consume all teacher "
-                    "layers)")
+                    "layers — use cache_teacher_all)")
             if cfg.steps_per_dispatch > 1:
                 raise ValueError(
                     "cache_teacher with steps_per_dispatch > 1 is not "
@@ -152,9 +201,14 @@ class Trainer:
                 self._cache = TeacherFeatureCache(
                     np.float16
                     if model.student_cfg.compute_dtype == "bfloat16"
-                    else np.float32)
+                    else np.float32,
+                    all_layers=cfg.cache_teacher_all,
+                    spill_dir=cfg.cache_teacher_dir)
                 self._train_step_cached = jax.jit(
-                    make_distil_train_step(model, cached_teacher=True))
+                    make_distil_train_step(
+                        model,
+                        cached_teacher=not cfg.cache_teacher_all,
+                        cached_all_layers=cfg.cache_teacher_all))
                 self._train_step_harvest = jax.jit(
                     make_distil_train_step(model, harvest_teacher=True))
         self.state: Optional[DistilTrainState] = None
@@ -257,17 +311,20 @@ class Trainer:
                     n_done = spd
                     # periodic train-WER reads one batch, not the stack
                     batch = jax.tree.map(lambda v: v[-1], batch)
-                elif "tch_last_feat" in batch:
+                elif "tch_last_feat" in batch or "tch_all_feat" in batch:
                     self.state, metrics = self._train_step_cached(
                         self.state, batch, base_rng)
                     n_done = 1
                 elif self._cache is not None and utt_idx is not None:
                     # harvest epoch: train normally AND record the teacher's
-                    # last-layer features for every utterance in the batch
-                    self.state, metrics, (tch_last, enc_len) = \
+                    # features (last layer, or the full per-layer stack for
+                    # the all-layer cache) for every utterance in the batch
+                    self.state, metrics, (tch_last, tch_feats, enc_len) = \
                         self._train_step_harvest(self.state, batch, base_rng)
                     self._cache.put_batch(
-                        np.asarray(utt_idx), np.asarray(tch_last),
+                        np.asarray(utt_idx),
+                        np.asarray(tch_feats if self._cache.all_layers
+                                   else tch_last),
                         np.asarray(enc_len), batch["signal"].shape[1])
                     n_done = 1
                 else:
@@ -298,16 +355,18 @@ class Trainer:
     def _attach_cached_teacher(self, raw):
         """Iterator wrapper: once every utterance of a batch has harvested
         teacher features (and the bucket's T' is known), attach the assembled
-        (B, T', Dt) tensor so the cached step skips the teacher forward.
-        Runs BEFORE prefetch_to_device, so the tensor rides the same
-        double-buffered host->device feed (sharded over `data`)."""
+        tensor — (B, T', Dt) last-layer or (B, L, T', Dt) all-layer — so the
+        cached step skips the teacher forward. Runs BEFORE
+        prefetch_to_device, so the tensor rides the same double-buffered
+        host->device feed (sharded over `data`)."""
         d_t = self.model.teacher_cfg.encoder.d_model
+        key = "tch_all_feat" if self._cache.all_layers else "tch_last_feat"
         for batch in raw:
             idxs = batch.get("utt_idx")
             l_pad = batch["signal"].shape[1]
             if (idxs is not None and l_pad in self._cache.tprime
                     and self._cache.has_all(idxs)):
-                batch["tch_last_feat"] = self._cache.assemble(
+                batch[key] = self._cache.assemble(
                     idxs, self._cache.tprime[l_pad], d_t)
             yield batch
 

@@ -45,7 +45,9 @@ def _step_rngs(base_rng: jax.Array, step: jnp.ndarray) -> Dict[str, jax.Array]:
 
 
 def make_distil_train_step(model: DistilCTCModel, cached_teacher: bool = False,
-                           harvest_teacher: bool = False):
+                           harvest_teacher: bool = False,
+                           packed: bool = False,
+                           cached_all_layers: bool = False):
     """Returns train_step(state, batch, base_rng) -> (state, metrics).
 
     batch: dict with `signal` (B, L) f32, `signal_len` (B,) i32,
@@ -53,9 +55,17 @@ def make_distil_train_step(model: DistilCTCModel, cached_teacher: bool = False,
 
     Teacher-feature cache variants (train/loop.py TeacherFeatureCache):
     `cached_teacher` consumes `batch["tch_last_feat"]` (B, T', Dt) instead of
-    running the frozen teacher forward; `harvest_teacher` returns
-    (state, metrics, (tch_last, encoded_len)) so the loop can record the
-    teacher outputs while training normally.
+    running the frozen teacher forward; `cached_all_layers` consumes
+    `batch["tch_all_feat"]` (B, L, T', Dt) — batch-major so the dp sharding
+    of the host->device feed lands on the batch axis — covering EVERY KD
+    mode (FM/DiffKD/diffm/full-layerwise); `harvest_teacher` returns
+    (state, metrics, (tch_last, tch_feats, encoded_len)) so the loop can
+    record the teacher outputs while training normally.
+
+    `packed`: packed-segment training (model.forward_packed_train) — batch
+    additionally carries the plan arrays `pk_src_utt`, `pk_src_pos`,
+    `pk_seg` (R, Tp) and `pk_row`, `pk_start` (B,) from
+    data/packing.plan_packing over the deterministic subsampled lengths.
     """
 
     def train_step(state: DistilTrainState, batch: Dict[str, jnp.ndarray],
@@ -63,13 +73,35 @@ def make_distil_train_step(model: DistilCTCModel, cached_teacher: bool = False,
         rngs = _step_rngs(base_rng, state.step)
 
         def loss_fn(params):
+            # Stop gradients AT the frozen teacher's params, not only at its
+            # outputs: with zero tangents flowing in, JAX never linearizes
+            # the teacher subgraph — which both skips useless JVP work and
+            # lets the teacher run VJP-less eval-only kernels (the fused
+            # int8 FFN kernel under teacher_cfg.encoder.quantization='int8')
+            # inside value_and_grad. Teacher grads stay structural zeros
+            # (the optimizer masks them anyway, train/optim.py).
+            if isinstance(params, dict) and "teacher" in params:
+                params = {**params,
+                          "teacher": jax.lax.stop_gradient(params["teacher"])}
             variables = {"params": params, "batch_stats": state.batch_stats}
-            out, mutated = model.apply(
-                variables, batch["signal"], batch["signal_len"],
-                batch["tokens"], batch["token_len"], train=True,
-                tch_last_feat=(batch["tch_last_feat"] if cached_teacher
-                               else None),
-                rngs=rngs, mutable=["batch_stats"])
+            if packed:
+                out, mutated = model.apply(
+                    variables, batch["signal"], batch["signal_len"],
+                    batch["tokens"], batch["token_len"],
+                    batch["pk_src_utt"], batch["pk_src_pos"],
+                    batch["pk_seg"], batch["pk_row"], batch["pk_start"],
+                    train=True, rngs=rngs, mutable=["batch_stats"],
+                    method=DistilCTCModel.forward_packed_train)
+            else:
+                out, mutated = model.apply(
+                    variables, batch["signal"], batch["signal_len"],
+                    batch["tokens"], batch["token_len"], train=True,
+                    tch_last_feat=(batch["tch_last_feat"] if cached_teacher
+                                   else None),
+                    tch_all_feat=(
+                        jnp.transpose(batch["tch_all_feat"], (1, 0, 2, 3))
+                        if cached_all_layers else None),
+                    rngs=rngs, mutable=["batch_stats"])
             return out.losses["total"], (out, mutated.get("batch_stats",
                                                           state.batch_stats))
 
@@ -95,7 +127,8 @@ def make_distil_train_step(model: DistilCTCModel, cached_teacher: bool = False,
         metrics.update(nan_metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         if harvest_teacher:
-            return new_state, metrics, (out.tch_last, out.encoded_len)
+            return new_state, metrics, (out.tch_last, out.tch_feats,
+                                        out.encoded_len)
         return new_state, metrics
 
     return train_step
