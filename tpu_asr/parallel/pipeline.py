@@ -90,22 +90,39 @@ class _LayerStack(nn.Module):
         return (y, feats) if collect else y
 
 
+def _stage_apply(stack, vs, xs, pos_emb, ms, key):
+    """Apply a stage, wiring the per-(stage, microbatch) dropout key the
+    pipeline derives; nn.scan's split_rngs then gives each LOCAL layer its
+    own stream."""
+    if key is None:
+        return stack.apply(vs, xs, pos_emb, ms)
+    return stack.apply(vs, xs, pos_emb, ms,
+                       rngs={"dropout": key,
+                             "layerdrop": jax.random.fold_in(key, 1)})
+
+
 def pipeline_layer_stack(apply_stage, stage_variables, x_micro, mask_micro,
-                         mesh: Mesh, pipe_axis: str = "pipe"):
+                         mesh: Mesh, pipe_axis: str = "pipe",
+                         dropout_rng=None):
     """Run `apply_stage` as an S-stage pipeline over `pipe_axis`.
 
-    apply_stage(stage_variables_local, x (mb, T, D), mask (mb, T)) -> y —
-    the per-stage compute; `stage_variables` leaves are stacked (L, ...)
+    apply_stage(stage_variables_local, x (mb, T, D), mask (mb, T), rng) ->
+    y — the per-stage compute; `stage_variables` leaves are stacked (L, ...)
     and get sharded over `pipe_axis` on axis 0 (L % S must be 0).
     x_micro (M, mb, T, D) / mask_micro (M, mb, T): M microbatches.
     Returns (M, mb, T, D) outputs, replicated over `pipe_axis` (psum of the
     last stage's buffer; a production serving layout would keep it
     stage-local — this keeps the API mesh-agnostic).
+
+    `dropout_rng` (per-microbatch RNG plumbing): each tick derives
+    fold_in(fold_in(rng, microbatch), stage) so every (stage, microbatch)
+    gets an independent stream — real-dropout pipelined TRAINING; None
+    keeps the deterministic-compute contract (rng arg arrives as None).
     """
     n_stages = mesh.shape[pipe_axis]
     n_micro = x_micro.shape[0]
 
-    def stage_fn(variables, xm, mm):
+    def stage_fn(variables, xm, mm, rng):
         s = jax.lax.axis_index(pipe_axis)
         last = n_stages - 1
 
@@ -117,7 +134,12 @@ def pipeline_layer_stack(apply_stage, stage_variables, x_micro, mask_micro,
             # stage 0 consumes the next microbatch; others, the ring input
             x_in = jnp.where(s == 0, inj, x_c)
             m_in = jnp.where(s == 0, inj_m, m_c)
-            y = apply_stage(variables, x_in, m_in)
+            if rng is not None:
+                mi = jnp.clip(step - s, 0, n_micro - 1)
+                key = jax.random.fold_in(jax.random.fold_in(rng, mi), s)
+            else:
+                key = None
+            y = apply_stage(variables, x_in, m_in, key)
             # ring-shift to the next stage (stage `last` sends nowhere;
             # stage 0 receives zeros, which it overwrites with `inj`)
             perm = [(i, i + 1) for i in range(n_stages - 1)]
@@ -143,13 +165,14 @@ def pipeline_layer_stack(apply_stage, stage_variables, x_micro, mask_micro,
     var_specs = jax.tree.map(lambda _: P(pipe_axis), stage_variables)
     fn = jax.shard_map(
         stage_fn, mesh=mesh, axis_names={pipe_axis},
-        in_specs=(var_specs, P(), P()), out_specs=P(), check_vma=False)
-    return fn(stage_variables, x_micro, mask_micro)
+        in_specs=(var_specs, P(), P(), P()), out_specs=P(),
+        check_vma=False)
+    return fn(stage_variables, x_micro, mask_micro, dropout_rng)
 
 
 def pipeline_layer_stack_feats(apply_stage, stage_variables, x_micro,
                                mask_micro, mesh: Mesh, n_local: int,
-                               pipe_axis: str = "pipe"):
+                               pipe_axis: str = "pipe", dropout_rng=None):
     """Feature-collecting variant of `pipeline_layer_stack` for the KD
     pipeline: `apply_stage(vars, x, m) -> (y, feats)` with `feats`
     (n_local, mb, T, D) = this stage's per-layer outputs. Each stage writes
@@ -161,7 +184,7 @@ def pipeline_layer_stack_feats(apply_stage, stage_variables, x_micro,
     n_stages = mesh.shape[pipe_axis]
     n_micro = x_micro.shape[0]
 
-    def stage_fn(variables, xm, mm):
+    def stage_fn(variables, xm, mm, rng):
         s = jax.lax.axis_index(pipe_axis)
 
         def tick(carry, step):
@@ -171,7 +194,12 @@ def pipeline_layer_stack_feats(apply_stage, stage_variables, x_micro,
             inj_m = jax.lax.dynamic_index_in_dim(mm, idx, 0, keepdims=False)
             x_in = jnp.where(s == 0, inj, x_c)
             m_in = jnp.where(s == 0, inj_m, m_c)
-            y, feats = apply_stage(variables, x_in, m_in)
+            if rng is not None:
+                mi2 = jnp.clip(step - s, 0, n_micro - 1)
+                key = jax.random.fold_in(jax.random.fold_in(rng, mi2), s)
+            else:
+                key = None
+            y, feats = apply_stage(variables, x_in, m_in, key)
             perm = [(i, i + 1) for i in range(n_stages - 1)]
             x_n = jax.lax.ppermute(y, pipe_axis, perm)
             m_n = jax.lax.ppermute(m_in.astype(jnp.int8), pipe_axis,
@@ -194,18 +222,48 @@ def pipeline_layer_stack_feats(apply_stage, stage_variables, x_micro,
     var_specs = jax.tree.map(lambda _: P(pipe_axis), stage_variables)
     fn = jax.shard_map(
         stage_fn, mesh=mesh, axis_names={pipe_axis},
-        in_specs=(var_specs, P(), P()),
+        in_specs=(var_specs, P(), P(), P()),
         out_specs=P(None, pipe_axis), check_vma=False)
-    return fn(stage_variables, x_micro, mask_micro)
+    return fn(stage_variables, x_micro, mask_micro, dropout_rng)
 
 
-def _check_cfg(cfg: EncoderConfig, train: bool) -> None:
-    if train and (cfg.dropout > 0 or cfg.dropout_att > 0
-                  or cfg.dropout_pre_encoder > 0
-                  or cfg.stochastic_depth_drop_prob > 0):
-        raise ValueError("pipelined training requires deterministic "
-                         "compute: set the dropout/stochastic-depth rates "
-                         "to 0 (per-stage RNG plumbing is not wired)")
+def apply_pp_sharding(params, mesh: Mesh, encoder_path: str = "student"):
+    """device_put a DistilCTCModel (or CTCModel) param tree for a
+    ('data', 'pipe'[, 'model']) mesh — the dp x pp x tp composition in ONE
+    program: the pipelined encoder's stacked layer params shard over 'pipe'
+    on their leading (L) axis AND (when the mesh has a 'model' axis) the
+    attention/FF/decoder weight dims shard by the tensor-parallel rules
+    (parallel/sharding.py TP_RULES); everything else replicates. The batch
+    stays on 'data' (caller's device_put)."""
+    from tpu_asr.parallel.sharding import _path_names, _spec_for
+
+    tp = mesh.shape.get("model", 1) if "model" in mesh.axis_names else 1
+
+    def leaf(path, x):
+        names = _path_names(path)
+        shape = getattr(x, "shape", ())
+        spec_t = tuple(_spec_for(names, shape, tp))
+        if len(spec_t) < len(shape):
+            spec_t = (None,) * (len(shape) - len(spec_t)) + spec_t
+        if ("layers" in names and "encoder" in names
+                and (encoder_path in names or encoder_path == "")
+                and len(shape) >= 1):
+            spec_t = ("pipe",) + tuple(spec_t[1:])
+        return jax.device_put(x, NamedSharding(mesh, P(*spec_t)))
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def _check_cfg(cfg: EncoderConfig, train: bool,
+               have_rng: bool = False) -> None:
+    if train and not have_rng and (cfg.dropout > 0 or cfg.dropout_att > 0
+                                   or cfg.dropout_pre_encoder > 0):
+        raise ValueError("pipelined training with dropout needs a "
+                         "dropout rng (pass rngs={'dropout': key}); "
+                         "without one, set the dropout rates to 0")
+    if train and cfg.stochastic_depth_drop_prob > 0:
+        raise ValueError("stochastic depth is not supported in the "
+                         "pipelined encode path")
     if train and cfg.conv_norm_type == "batch_norm":
         raise ValueError("pipelined training requires "
                          "conv_norm_type='layer_norm' (BN batch-stats "
@@ -219,7 +277,7 @@ def _check_cfg(cfg: EncoderConfig, train: bool) -> None:
 
 
 def encode_pipelined(model, variables, features, lengths, mesh: Mesh,
-                     n_micro: int, train: bool = False):
+                     n_micro: int, train: bool = False, rngs=None):
     """Full ConformerEncoder forward with the layer stack pipelined over the
     mesh's 'pipe' axis. `model` is a CTCModel (its `pre_encode` split point
     provides the subsampling front half); pre/post-stack work runs in GSPMD
@@ -233,7 +291,8 @@ def encode_pipelined(model, variables, features, lengths, mesh: Mesh,
     from tpu_asr.models.ctc_model import CTCModel
 
     cfg = model.cfg.encoder
-    _check_cfg(cfg, train)
+    drng = (rngs or {}).get("dropout")
+    _check_cfg(cfg, train, have_rng=drng is not None)
     n_stages = mesh.shape["pipe"]
     if cfg.n_layers % n_stages:
         raise ValueError(f"n_layers={cfg.n_layers} not divisible by "
@@ -250,6 +309,11 @@ def encode_pipelined(model, variables, features, lengths, mesh: Mesh,
     pos_emb = rel_positional_encoding(t, cfg.d_model, dtype)
     mask = jnp.arange(t)[None, :] < out_len[:, None]
     x = jnp.where(mask[..., None], x, 0.0)
+    if train and cfg.dropout_pre_encoder > 0 and drng is not None:
+        # 0x7E5C0DE: a fold level no (microbatch, stage) derivation reaches
+        keep = jax.random.bernoulli(jax.random.fold_in(drng, 0x7E5C0DE),
+                                    1.0 - cfg.dropout_pre_encoder, x.shape)
+        x = jnp.where(keep, x / (1.0 - cfg.dropout_pre_encoder), 0.0)
 
     mb = b // n_micro
     x_micro = x.reshape(n_micro, mb, t, d)
@@ -263,16 +327,16 @@ def encode_pipelined(model, variables, features, lengths, mesh: Mesh,
         if "layers" in bs:
             stage_vars["batch_stats"] = {"layers": bs["layers"]}
 
-    def apply_stage(vs, xs, ms):
-        return stack.apply(vs, xs, pos_emb, ms)
+    def apply_stage(vs, xs, ms, key):
+        return _stage_apply(stack, vs, xs, pos_emb, ms, key)
 
     y_micro = pipeline_layer_stack(apply_stage, stage_vars, x_micro,
-                                   mask_micro, mesh)
+                                   mask_micro, mesh, dropout_rng=drng)
     return y_micro.reshape(b, t, d), out_len
 
 
 def encode_pipelined_feats(model, variables, features, lengths, mesh: Mesh,
-                           n_micro: int, train: bool = False):
+                           n_micro: int, train: bool = False, rngs=None):
     """`encode_pipelined` variant that ALSO returns the full per-layer
     feature stack (L, B, T', D) — the KD losses' input. Same parity
     contract; the encoder output is the stack's last layer."""
@@ -280,7 +344,8 @@ def encode_pipelined_feats(model, variables, features, lengths, mesh: Mesh,
     from tpu_asr.models.ctc_model import CTCModel
 
     cfg = model.cfg.encoder
-    _check_cfg(cfg, train)
+    drng = (rngs or {}).get("dropout")
+    _check_cfg(cfg, train, have_rng=drng is not None)
     n_stages = mesh.shape["pipe"]
     if cfg.n_layers % n_stages:
         raise ValueError(f"n_layers={cfg.n_layers} not divisible by "
@@ -297,6 +362,11 @@ def encode_pipelined_feats(model, variables, features, lengths, mesh: Mesh,
     pos_emb = rel_positional_encoding(t, cfg.d_model, dtype)
     mask = jnp.arange(t)[None, :] < out_len[:, None]
     x = jnp.where(mask[..., None], x, 0.0)
+    if train and cfg.dropout_pre_encoder > 0 and drng is not None:
+        # 0x7E5C0DE: a fold level no (microbatch, stage) derivation reaches
+        keep = jax.random.bernoulli(jax.random.fold_in(drng, 0x7E5C0DE),
+                                    1.0 - cfg.dropout_pre_encoder, x.shape)
+        x = jnp.where(keep, x / (1.0 - cfg.dropout_pre_encoder), 0.0)
 
     mb = b // n_micro
     x_micro = x.reshape(n_micro, mb, t, d)
@@ -311,11 +381,12 @@ def encode_pipelined_feats(model, variables, features, lengths, mesh: Mesh,
         if "layers" in bs:
             stage_vars["batch_stats"] = {"layers": bs["layers"]}
 
-    def apply_stage(vs, xs, ms):
-        return stack.apply(vs, xs, pos_emb, ms)
+    def apply_stage(vs, xs, ms, key):
+        return _stage_apply(stack, vs, xs, pos_emb, ms, key)
 
     f_micro = pipeline_layer_stack_feats(apply_stage, stage_vars, x_micro,
-                                         mask_micro, mesh, n_local)
+                                         mask_micro, mesh, n_local,
+                                         dropout_rng=drng)
     # (M, L, mb, T, D) -> (L, B, T, D); microbatch m holds rows m*mb..+mb
     n_l = cfg.n_layers
     layer_feats = jnp.transpose(f_micro, (1, 0, 2, 3, 4)).reshape(
@@ -334,21 +405,34 @@ def distil_forward_pipelined(model, variables, signal, signal_len,
     auto mode (batch over 'data') on the student's pipelined per-layer
     features, reusing `forward_with_student_encode` verbatim.
 
-    Deterministic-compute contract like the CTC pipeline (dropout 0,
-    layer_norm conv): featurization runs eval-mode (no dither/specaug).
+    Training randomness (round 5): when `rngs` carries 'dropout'/'specaug'
+    keys, the pipeline derives an independent stream per (stage,
+    microbatch) via fold_in — real dropout, dither and specaug in the
+    pipelined step (matching the reference DDP step's regularization);
+    without rngs the deterministic-compute contract applies (dropout must
+    be 0, featurization eval-mode). conv must stay layer_norm either way
+    (BN batch-stats mutation is not pipelined).
     Returns DistilOutput."""
     from tpu_asr.models.ctc_model import CTCModel
     from tpu_asr.models.distil_model import DistilCTCModel
     from tpu_asr.ops.features import FilterbankFeatures
+    from tpu_asr.ops.specaug import spec_augment
 
     stu_model = CTCModel(model.student_cfg)
     stu_vars = {"params": variables["params"]["student"]}
     if "batch_stats" in variables and "student" in variables["batch_stats"]:
         stu_vars["batch_stats"] = variables["batch_stats"]["student"]
     feat = FilterbankFeatures(model.student_cfg.preprocessor)
-    feats, feat_len = feat(signal, signal_len, train=False, rng=None)
+    srng = (rngs or {}).get("specaug")
+    aug = train and srng is not None
+    feats, feat_len = feat(signal, signal_len, train=aug, rng=srng)
+    if aug and model.student_cfg.spec_augment is not None:
+        feats = spec_augment(feats, feat_len,
+                             model.student_cfg.spec_augment,
+                             jax.random.fold_in(srng, 1))
     encoded, out_len, stu_feats = encode_pipelined_feats(
-        stu_model, stu_vars, feats, feat_len, mesh, n_micro, train=train)
+        stu_model, stu_vars, feats, feat_len, mesh, n_micro, train=train,
+        rngs=rngs)
     return model.apply(
         variables, encoded, out_len, stu_feats, signal, signal_len,
         transcripts, transcript_lengths, train=train,
