@@ -457,9 +457,13 @@ class Trainer:
 
         Requires the plain student-CTC decode path: flow-matching replaces
         the decoder input with the FM trajectory (reference
-        asr_train.py:664-666) — FM configs must use `evaluate`. Single-host
-        only (each process would need its own packing plan; the bucketed
-        `evaluate` handles pods)."""
+        asr_train.py:664-666) — FM configs must use `evaluate`.
+
+        Multi-host: each process packs and scores ITS OWN manifest stripe
+        (packing plans are process-local — rows never cross hosts), then
+        the (scores, words, loss, tokens, n) sums are summed across
+        processes exactly like `evaluate` (torchmetrics
+        dist_reduce_fx='sum', wer.py:289-290)."""
         import jax.numpy as jnp
 
         from tpu_asr.data.packing import (guard_frames, pack_frames,
@@ -473,8 +477,6 @@ class Trainer:
                 "evaluate_packed requires the plain CTC decode path; "
                 "use_flow_matching feeds the decoder from the FM output — "
                 "use evaluate()")
-        if jax.process_count() > 1:
-            raise ValueError("evaluate_packed is single-host; use evaluate()")
         cfg = self.cfg
         assert self.state is not None
         scfg = self.model.student_cfg
@@ -579,7 +581,9 @@ class Trainer:
             feats_dev.clear(); enc_lens.clear(); toks_l.clear()
             tlens_l.clear(); texts_p.clear()
 
-        for batch in make_dataloader(dataset, cfg.test_ds, epoch=0):
+        for batch in make_dataloader(dataset, cfg.test_ds, epoch=0,
+                                     num_shards=jax.process_count(),
+                                     shard_index=jax.process_index()):
             n_real = len(batch["texts"])
             x, ln = pre(variables, jnp.asarray(batch["signal"]),
                         jnp.asarray(batch["signal_len"]))
@@ -592,10 +596,12 @@ class Trainer:
             if len(enc_lens) >= utt_chunk:
                 flush()
         flush()
-        nll_contrib, tok_sum, n_total = agg["nll"], agg["tok"], agg["n"]
+        # cross-process reduction, identical to `evaluate`'s
+        scores, words, nll_contrib, tok_sum, n_total = cross_process_sum(
+            [wer.scores, wer.words, agg["nll"], agg["tok"], agg["n"]])
         if reduction == "mean_volume":
             loss = nll_contrib / max(tok_sum, 1.0)
         else:
             loss = nll_contrib / max(n_total, 1)
-        return {"wer": (wer.scores / wer.words if wer.words else float("inf")),
+        return {"wer": (scores / words if words else float("inf")),
                 "loss": loss, "num_utts": float(n_total)}
