@@ -197,6 +197,35 @@ def main() -> None:
                 line_c["degraded"] = True
             print(json.dumps(line_c))
 
+        if name == "flowkd_mlp8":
+            # ALL-layer teacher cache (TrainConfig.cache_teacher_all):
+            # epochs >= 1 skip the teacher forward for the flowkd step too —
+            # the (B, L, T', Dt) cached stack replaces the teacher encode
+            # (exact semantics; tests/test_teacher_cache.py). Device-
+            # resident here = the device-side ceiling; the real loop feeds
+            # ~70 MB/step from host, which through THIS dev tunnel costs
+            # more than the ~11 ms teacher forward it saves (ROADMAP r5).
+            harvest = jax.jit(make_distil_train_step(model,
+                                                     harvest_teacher=True))
+            _, _, (_tl, tch_feats, _el) = harvest(state, batch, key)
+            batch_a = dict(batch)
+            batch_a["tch_all_feat"] = jnp.transpose(tch_feats, (1, 0, 2, 3))
+            cached_a = jax.jit(make_distil_train_step(
+                model, cached_all_layers=True))
+            st_a, mets_a = cached_a(state, batch_a, key)
+            float(mets_a["loss/total"])
+            dt_a, st_a = per_call(cached_a, st_a, batch_a)
+            if not _sane(dt_a * 1e3, lighter_than_ms=dt * 1e3):
+                dt_a, st_a = per_call(cached_a, st_a, batch_a)
+            line_a = {
+                "config": "flowkd_mlp8 + cache_teacher_all (epochs >= 1; "
+                          "device-resident cached stack)",
+                "ms_per_step": round(dt_a * 1e3, 1),
+                "audio_sec_per_sec": round(B * SEC / dt_a, 1)}
+            if not _sane(dt_a * 1e3, lighter_than_ms=dt * 1e3):
+                line_a["degraded"] = True
+            print(json.dumps(line_a))
+
         if name == "ctc_student":
             # batch-scaling: B=64 is the reference's bf16 batch guidance
             # (conformer_ctc_bpe.yaml:28-43) — remat keeps activations O(1)
@@ -238,27 +267,47 @@ def main() -> None:
         from tpu_asr.ops.features import stft_seq_len
         from tpu_asr.utils.flops import compiled_flops as _cf
 
+        # MEASURED REFUTATION (round 5, v5e same-session): packed 7217 vs
+        # bucketed 7565 audio-s/s -> vs_bucketed 0.95. Why packing cannot
+        # beat tight duration buckets here: segment-masked attention is
+        # DENSE over t_pack (the kernel computes the full (Tp, Tp) scores
+        # and masks), so per-frame attention cost grows by t_pack/T'_bucket
+        # (5x for the shortest bucket) while the linear ops win only
+        # 1/fill (~1.25x). Per-bucket t_pack = T'_bucket removes the
+        # quadratic growth but then segments no longer combine at
+        # LibriSpeech durations (host-side fill 0.64-0.76, linear win
+        # < 1). The remaining lever would be tile-level BLOCK-SPARSE
+        # segment attention (skip cross-segment score tiles). Packed
+        # SERVING keeps its measured 1.3-1.5x (bench.py).
         pk_model = DistilCTCModel(student_cfg, teacher_cfg, flowkd)
-        n_utts = 128
+        # enough utterances that every batch is full of REAL utts (no
+        # cyclic-duplicate padding distorting either path)
+        n_utts = 512
         rng_pk = np.random.default_rng(3)
         durs = np.clip(rng_pk.lognormal(np.log(6.2), 0.55, n_utts), 1.0, 16.7)
-        order = np.argsort(durs)
-        bucket_ids = np.array_split(order, 4)
         scfg = student_cfg
         t_pack = 512
 
         def make_batches():
-            """(batch dict, real audio seconds) per bucket chunk; packed
-            variants get plan arrays padded to one static R per bucket."""
+            """(bucketed batch, packed batch, real audio seconds) per chunk.
+
+            The bucketed baseline reproduces the REAL dataloader contract
+            (data/dataset.py _bucket_edges): 4 LINEAR duration buckets over
+            [0, 16.7] s, every batch padded to its bucket's static EDGE (one
+            compiled shape per bucket) with audio-matched per-bucket batch
+            sizes. The packed path featurizes the same per-utterance batches
+            but runs the encoder stacks on dense t_pack rows."""
+            edges = np.linspace(16.7 / 4, 16.7, 4)
+            bucket_of = np.searchsorted(edges, durs, side="left")
             out = []
-            for ids in bucket_ids:
-                cap = float(durs[ids].max())
-                cap_s = int(round(cap * SR))
-                bsz = max(8, int(round(B * SEC / cap / 8)) * 8)
-                chunks = [ids[i:i + bsz] for i in range(0, len(ids), bsz)]
-                chunks = [np.resize(c, bsz) for c in chunks]
+            for b_i, edge in enumerate(edges):
+                ids = np.where(bucket_of == b_i)[0]
+                cap_s = int(np.ceil(edge * SR))
+                bsz = max(8, int(round(B * SEC / edge / 8)) * 8)
+                n_full = len(ids) // bsz
                 plans = []
-                for c in chunks:
+                for ci in range(n_full):
+                    c = ids[ci * bsz:(ci + 1) * bsz]
                     lens = np.minimum((durs[c] * SR).astype(np.int64), cap_s)
                     pk, plan = train_pack_arrays(
                         lens, scfg.preprocessor.n_fft,
@@ -266,9 +315,11 @@ def main() -> None:
                         scfg.encoder.subsampling_factor,
                         scfg.encoder.subsampling,
                         scfg.encoder.conv_kernel_size, t_pack=t_pack)
-                    plans.append((c, lens, pk, plan))
-                r_bucket = max(p.n_rows for _, _, _, p in plans)
-                for c, lens, _, plan in plans:
+                    plans.append((c, lens, plan))
+                if not plans:
+                    continue
+                r_bucket = max(p.n_rows for _, _, p in plans)
+                for c, lens, _ in plans:
                     pk, _ = train_pack_arrays(
                         lens, scfg.preprocessor.n_fft,
                         scfg.preprocessor.hop_length,
