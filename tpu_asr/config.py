@@ -399,6 +399,15 @@ class TrainConfig:
     # TPU compute at flagship). Measured numbers in ROADMAP round-5.
     cache_teacher_all: bool = False
     cache_teacher_dir: Optional[str] = None
+    # fault tolerance / observability (reference exp_manager optional
+    # callbacks — straggler detection, FaultToleranceCallback simulated
+    # faults, section heartbeats; utils/exp_manager.py):
+    # every N steps log per-rank step-time means + straggler flags (0 off)
+    straggler_report_every: int = 0
+    # every N steps write this process's heartbeat file (0 off)
+    heartbeat_every: int = 0
+    # "rank_killed:<rank>:<step>" | "rank_hung:<rank>:<step>" (tests only)
+    simulated_fault: Optional[str] = None
     # parallelism
     dp_size: int = -1      # -1: all devices on the data axis
     tp_size: int = 1

@@ -36,6 +36,8 @@ from tpu_asr.train.trainer import (DistilTrainState, make_distil_eval_step,
 from tpu_asr.utils.checkpoint import (install_preemption_handler,
                                       restore_signal_handler, rotate_last,
                                       restore_train_state, save_train_state)
+from tpu_asr.utils.exp_manager import (StragglerDetector, maybe_inject_fault,
+                                       write_heartbeat)
 from tpu_asr.utils.wer import WERMetric
 
 
@@ -287,6 +289,9 @@ class Trainer:
     def _fit_epochs(self, cfg, val_manifest, max_steps, loader_kw, dataset):
         base_rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
         t0 = time.perf_counter()
+        straggler = (StragglerDetector() if cfg.straggler_report_every
+                     else None)
+        t_prev = time.perf_counter()
         done = False
         for epoch in range(cfg.max_epochs):
             if done:
@@ -332,6 +337,23 @@ class Trainer:
                                                            base_rng)
                     n_done = 1
                 step = int(self.state.step)
+                # fault-tolerance hooks (utils/exp_manager.py): injection is
+                # test-only; heartbeats + straggler report are production
+                # observability for pod runs
+                maybe_inject_fault(cfg.simulated_fault, step)
+                if cfg.heartbeat_every and step % cfg.heartbeat_every == 0:
+                    write_heartbeat(self.workdir, step)
+                if straggler is not None:
+                    now = time.perf_counter()
+                    straggler.tick((now - t_prev) / n_done)
+                    t_prev = now
+                    if step % cfg.straggler_report_every == 0:
+                        rep = straggler.report()
+                        self.logger.log(
+                            {f"straggler/rank{i}_mean_s": v
+                             for i, v in enumerate(rep["per_rank_mean_s"])}
+                            | {"straggler/n_flagged":
+                               len(rep["stragglers"])}, step)
                 if (step // self.log_every != (step - n_done) // self.log_every
                         or step == n_done):
                     metrics = jax.device_get(metrics)

@@ -97,3 +97,98 @@ def profile_trace(workdir, enabled: bool = False):
     trace_dir.mkdir(parents=True, exist_ok=True)
     with jax.profiler.trace(str(trace_dir)):
         yield trace_dir
+
+
+class StragglerDetector:
+    """Straggler detection — the exercised spirit of NeMo's optional
+    straggler-detection callback (reference NeMo/nemo/utils/exp_manager.py
+    :443-530, nvidia-resiliency-ext backed; config-gated and unused by the
+    KD scripts) rebuilt TPU-natively: every process accumulates its own
+    per-step wall times; `report()` all-gathers the per-process means (a
+    one-hot `process_allgather` sum — no extra deps) and flags ranks slower
+    than `threshold` x the fleet median. On a pod this catches the
+    slow-host/slow-chip cases that show up as whole-fleet step-time
+    inflation (SPMD steps run at the slowest participant's pace)."""
+
+    def __init__(self, threshold: float = 1.25, window: int = 100):
+        self.threshold = threshold
+        self.window = window
+        self._times = []
+
+    def tick(self, dt_s: float) -> None:
+        self._times.append(float(dt_s))
+        if len(self._times) > self.window:
+            self._times = self._times[-self.window:]
+
+    def report(self) -> Dict:
+        import jax
+        import numpy as np
+
+        from tpu_asr.parallel.mesh import cross_process_sum
+
+        n = jax.process_count()
+        mine = float(np.mean(self._times)) if self._times else 0.0
+        vec = np.zeros(n, np.float64)
+        vec[jax.process_index()] = mine
+        per_rank = np.asarray(cross_process_sum(vec))
+        med = float(np.median(per_rank)) if n else 0.0
+        stragglers = [int(i) for i, t in enumerate(per_rank)
+                      if med > 0 and t > self.threshold * med]
+        return {"per_rank_mean_s": per_rank.tolist(),
+                "median_s": med,
+                "threshold": self.threshold,
+                "stragglers": stragglers}
+
+
+def maybe_inject_fault(spec: Optional[str], step: int) -> None:
+    """Fault injection for resilience testing — the reference's
+    FaultToleranceCallback `simulated_fault` knob (NeMo exp_manager.py:
+    188-264, config-gated, unused by the KD scripts). `spec` is
+    "rank_killed:<rank>:<step>" or "rank_hung:<rank>:<step>": at train step
+    <step>, process <rank> either exits hard (os._exit(1) — the preemption/
+    crash case checkpoint-resume must survive) or hangs (sleeps forever —
+    the case heartbeat monitoring must catch). No-op when spec is None or
+    this process/step does not match."""
+    if not spec:
+        return
+    kind, rank, at = spec.split(":")
+    import jax
+    if jax.process_index() != int(rank) or step != int(at):
+        return
+    if kind == "rank_killed":
+        os._exit(1)
+    elif kind == "rank_hung":
+        while True:           # pragma: no cover - watched by heartbeats
+            time.sleep(60)
+    else:
+        raise ValueError(f"unknown simulated fault kind: {kind!r}")
+
+
+def write_heartbeat(workdir, step: int) -> None:
+    """Per-process heartbeat file (atomic rename): <workdir>/heartbeats/
+    rank<i> holds the last step + wall time. A monitor (or
+    `check_heartbeats`) flags ranks whose file went stale — the detection
+    half of the fault-tolerance story (the reaction half is the SIGTERM
+    checkpoint save + resume, utils/checkpoint.py)."""
+    import jax
+
+    hb = Path(workdir) / "heartbeats"
+    hb.mkdir(parents=True, exist_ok=True)
+    path = hb / f"rank{jax.process_index()}"
+    tmp = hb / f".rank{jax.process_index()}.tmp"
+    tmp.write_text(json.dumps({"step": int(step), "time": time.time()}))
+    tmp.rename(path)
+
+
+def check_heartbeats(workdir, timeout_s: float = 60.0) -> Dict:
+    """Ranks whose heartbeat is older than `timeout_s` (hung or dead)."""
+    hb = Path(workdir) / "heartbeats"
+    now = time.time()
+    stale, live = [], {}
+    for f in sorted(hb.glob("rank*")):
+        rec = json.loads(f.read_text())
+        rank = int(f.name[4:])
+        live[rank] = rec
+        if now - rec["time"] > timeout_s:
+            stale.append(rank)
+    return {"stale": stale, "ranks": live}
