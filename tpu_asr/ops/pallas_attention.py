@@ -653,9 +653,16 @@ def _block_scores(x16, wq_ref, wk_ref, wv_ref, cu_ref, cv_ref, bk_ref,
         scores = jnp.where(same[None], scores, sdt(-1e30))
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    # fp32-accumulated denominator (a (hpp, T, 1) vector — no (T, T) fp32)
-    denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
-    attn = e * (1.0 / denom).astype(sdt)
+    if score_bf16:
+        # fp32-accumulated denominator ((hpp, T, 1) — no (T, T) fp32 tile)
+        denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        attn = e * (1.0 / denom).astype(sdt)
+    else:
+        # keep the EXACT original expression: the reciprocal-multiply form
+        # nudged Mosaic's buffer allocation +1.36 MB at conformer-XLarge
+        # dims (d1024/h8/T384) and pushed the fwd over the 16 MB scoped-
+        # VMEM limit (round-5 bench regression)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
     return attn, qt, q_vt, kt, vt
 
 
@@ -909,6 +916,14 @@ def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0,
     budget = budget_mb * 2 ** 20
     n_drop = 1 if rate > 0.0 else 0
     hpp = h
+    # MEASURED Mosaic anchor (round 5): conformer-XLarge fwd
+    # (d1024/h8/dk128/half512/T384) at hpp=4 allocates 17.36 MB > the
+    # 16.00 MB scoped limit, while conformer-LARGE (dk64/half256) at hpp=8
+    # fits at 16.10 MB — only 8% apart, finer than the byte model can
+    # separate, so XL-class dims are capped explicitly. (Latent since the
+    # round-4 budget raise to 40 MB; caught by the round-5 --full sweep.)
+    if dk >= 128 and half >= 512:
+        hpp = min(hpp, 2)
     while hpp > 1 and hpp * ((n_tt + n_drop) * tp * tp * score_bytes
                              + (n_tdh * tp * half
                                 + n_tdk * tp * dk) * 4) > budget:
