@@ -263,9 +263,6 @@ def main() -> None:
     # packed rows (exact loss parity at drop=0 — tests/test_packed_train).
     if only is None or only == "packed_train":
         from tpu_asr.data.packing import train_pack_arrays
-        from tpu_asr.models.conformer import subsampled_length
-        from tpu_asr.ops.features import stft_seq_len
-        from tpu_asr.utils.flops import compiled_flops as _cf
 
         # MEASURED REFUTATION (round 5, v5e same-session): packed 7217 vs
         # bucketed 7565 audio-s/s -> vs_bucketed 0.95. Why packing cannot
