@@ -205,8 +205,8 @@ def main() -> None:
             # resident here = the device-side ceiling; the real loop feeds
             # ~70 MB/step from host, which through THIS dev tunnel costs
             # more than the ~11 ms teacher forward it saves (ROADMAP r5).
-            harvest = jax.jit(make_distil_train_step(model,
-                                                     harvest_teacher=True))
+            harvest = jax.jit(make_distil_train_step(
+                model, harvest_teacher=True, harvest_all=True))
             _, _, (_tl, tch_feats, _el) = harvest(state, batch, key)
             batch_a = dict(batch)
             batch_a["tch_all_feat"] = jnp.transpose(tch_feats, (1, 0, 2, 3))

@@ -83,7 +83,8 @@ def test_all_layer_cached_step_matches_harvest_step(distill_mode):
                                      layer_kd_alpha=0.2)
     model, variables, batch = _setup(distill=distill)
     rng = jax.random.PRNGKey(7)
-    harvest = jax.jit(make_distil_train_step(model, harvest_teacher=True))
+    harvest = jax.jit(make_distil_train_step(model, harvest_teacher=True,
+                                             harvest_all=True))
     cached = jax.jit(make_distil_train_step(model, cached_all_layers=True))
 
     s1, m1, (tch_last, tch_feats, enc_len) = harvest(
@@ -174,6 +175,31 @@ def test_trainer_fit_cache_teacher_all_equivalence(tmp_path):
                     jax.tree.leaves(s_on.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_cache_bf16_storage_no_fp16_overflow(tmp_path):
+    """Under bf16 compute the cache stores ml_dtypes.bfloat16, NOT fp16:
+    mid-stack residual features are unnormalized and can exceed fp16's
+    65504 max. Round-trips exactly through the disk spill (where .npy
+    loads bf16 back as raw void2 — the view fix)."""
+    import ml_dtypes
+
+    from tpu_asr.train.loop import TeacherFeatureCache
+
+    cache = TeacherFeatureCache(ml_dtypes.bfloat16, all_layers=True,
+                                spill_dir=str(tmp_path / "spill"))
+    # values far beyond fp16 range, representable in bf16
+    feats = (np.arange(2 * 3 * 4 * 2, dtype=np.float32)
+             .reshape(2, 3, 4, 2) * 1e5 + 1e5)          # (L, B, T, D)
+    feats_bf = feats.astype(ml_dtypes.bfloat16).astype(np.float32)
+    cache.put_batch([10, 11], feats, lengths=[4, 3], l_pad=8000)
+    out = cache.assemble([10, 11], t_prime=4, d_t=2)    # (B, L, T, D)
+    assert out.dtype == ml_dtypes.bfloat16
+    outf = out.astype(np.float32)
+    assert np.all(np.isfinite(outf))
+    np.testing.assert_array_equal(outf[0], feats_bf[:, 0])
+    np.testing.assert_array_equal(outf[1, :, :3], feats_bf[:, 1, :3])
+    assert np.all(outf[1, :, 3] == 0)                   # padded frame
 
 
 def test_cached_step_rejects_fm():

@@ -922,7 +922,12 @@ def _pick_hpp_block(h, tp, dk, half, n_tt, n_tdh, n_tdk, rate=0.0,
     # fits at 16.10 MB — only 8% apart, finer than the byte model can
     # separate, so XL-class dims are capped explicitly. (Latent since the
     # round-4 budget raise to 40 MB; caught by the round-5 --full sweep.)
-    if dk >= 128 and half >= 512:
+    # The cap applies only to the measured configuration class: fp32 score
+    # tiles and the default budget — bf16 tiles shrink the working set
+    # below the anchor, and an explicit TPU_ASR_ATTN_VMEM_MB is a probing
+    # override that must stay in control.
+    if (dk >= 128 and half >= 512 and score_bytes >= 4
+            and "TPU_ASR_ATTN_VMEM_MB" not in os.environ):
         hpp = min(hpp, 2)
     while hpp > 1 and hpp * ((n_tt + n_drop) * tp * tp * score_bytes
                              + (n_tdh * tp * half
@@ -1002,8 +1007,9 @@ def _block_pad(x, sin_t, cos_t, key_bias):
 def _pallas_block(x, wq, wk, wv, cu, cv, bk, bv, wev, wod, wo, sin_t, cos_t,
                   key_bias, seed_rows, att_context_size, dropout_rate,
                   interpret, seg=None, score_bf16=False):
-    """`seg` (B, T) fp32 packed-segment map (eval-only; see data/packing.py)
-    adds two tiny (B, T, 1)/(B, 1, T) operands and an in-VMEM block mask."""
+    """`seg` (B, T) fp32 packed-segment map (data/packing.py; eval AND
+    training — the bwd kernel recomputes the mask) adds two tiny
+    (B, T, 1)/(B, 1, T) operands and an in-VMEM block mask."""
     b, t, d = x.shape
     h, _, dk = wq.shape
     half = wev.shape[-1]
@@ -1181,7 +1187,6 @@ _BLK_ARGS = (_BLK_X, _BLK_W, _BLK_W, _BLK_W, _BLK_W, _BLK_W, _BLK_W,
 # projection): under head sharding each shard holds a partial sum and the
 # partition lowering inserts the psum (factor_partitioned reduce_factors)
 _BLK_OUT = (("b", None, None),)
-_BLK_BWD_ARGS = _BLK_ARGS + (("b", None, None),)
 # dx keeps the batch factor and contracts heads; the weight/bias grads are
 # already batch-summed in the kernel (grid-sequential accumulation), so they
 # keep the head factor and contract batch — both contractions become psums

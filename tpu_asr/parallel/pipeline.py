@@ -90,6 +90,15 @@ class _LayerStack(nn.Module):
         return (y, feats) if collect else y
 
 
+def _pre_encoder_dropout(x, drng, rate):
+    """Pre-encoder dropout for the pipelined encode paths (shared so the
+    CTC and KD pipelines cannot drift). 0x7E5C0DE: a fold level no
+    (microbatch, stage) derivation reaches."""
+    keep = jax.random.bernoulli(jax.random.fold_in(drng, 0x7E5C0DE),
+                                1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
 def _stage_apply(stack, vs, xs, pos_emb, ms, key):
     """Apply a stage, wiring the per-(stage, microbatch) dropout key the
     pipeline derives; nn.scan's split_rngs then gives each LOCAL layer its
@@ -174,7 +183,7 @@ def pipeline_layer_stack_feats(apply_stage, stage_variables, x_micro,
                                mask_micro, mesh: Mesh, n_local: int,
                                pipe_axis: str = "pipe", dropout_rng=None):
     """Feature-collecting variant of `pipeline_layer_stack` for the KD
-    pipeline: `apply_stage(vars, x, m) -> (y, feats)` with `feats`
+    pipeline: `apply_stage(vars, x, m, rng) -> (y, feats)` with `feats`
     (n_local, mb, T, D) = this stage's per-layer outputs. Each stage writes
     its layers' features for microbatch m at the tick it processes it; the
     per-stage buffers concatenate over `pipe_axis` into the full
@@ -310,10 +319,7 @@ def encode_pipelined(model, variables, features, lengths, mesh: Mesh,
     mask = jnp.arange(t)[None, :] < out_len[:, None]
     x = jnp.where(mask[..., None], x, 0.0)
     if train and cfg.dropout_pre_encoder > 0 and drng is not None:
-        # 0x7E5C0DE: a fold level no (microbatch, stage) derivation reaches
-        keep = jax.random.bernoulli(jax.random.fold_in(drng, 0x7E5C0DE),
-                                    1.0 - cfg.dropout_pre_encoder, x.shape)
-        x = jnp.where(keep, x / (1.0 - cfg.dropout_pre_encoder), 0.0)
+        x = _pre_encoder_dropout(x, drng, cfg.dropout_pre_encoder)
 
     mb = b // n_micro
     x_micro = x.reshape(n_micro, mb, t, d)
@@ -363,10 +369,7 @@ def encode_pipelined_feats(model, variables, features, lengths, mesh: Mesh,
     mask = jnp.arange(t)[None, :] < out_len[:, None]
     x = jnp.where(mask[..., None], x, 0.0)
     if train and cfg.dropout_pre_encoder > 0 and drng is not None:
-        # 0x7E5C0DE: a fold level no (microbatch, stage) derivation reaches
-        keep = jax.random.bernoulli(jax.random.fold_in(drng, 0x7E5C0DE),
-                                    1.0 - cfg.dropout_pre_encoder, x.shape)
-        x = jnp.where(keep, x / (1.0 - cfg.dropout_pre_encoder), 0.0)
+        x = _pre_encoder_dropout(x, drng, cfg.dropout_pre_encoder)
 
     mb = b // n_micro
     x_micro = x.reshape(n_micro, mb, t, d)

@@ -87,8 +87,11 @@ class TeacherFeatureCache:
     `all_layers=True` stores the full per-layer stack (L, T_i, Dt) per
     utterance — covers every KD mode (FM/DiffKD/diffm/full-layerwise).
     `spill_dir` writes each utterance to <dir>/<idx>.npy and reads back via
-    mmap instead of holding everything in RAM (~2.2 MB/utt fp16 at flagship
-    dims)."""
+    mmap instead of holding everything in RAM (~2.2 MB/utt at flagship
+    dims). Storage dtype under bf16 compute is ml_dtypes.bfloat16, NOT
+    fp16: mid-stack residual-stream features are unnormalized and can
+    exceed fp16's 65504 max (bf16 keeps fp32's exponent range), and bf16
+    storage of bf16 compute is bit-lossless."""
 
     def __init__(self, dtype, all_layers: bool = False,
                  spill_dir: Optional[str] = None):
@@ -119,7 +122,12 @@ class TeacherFeatureCache:
     def _load(self, i: int) -> np.ndarray:
         if i in self.data:
             return self.data[i]
-        return np.load(Path(self.spill_dir) / f"{i}.npy", mmap_mode="r")
+        arr = np.load(Path(self.spill_dir) / f"{i}.npy", mmap_mode="r")
+        if arr.dtype != self.dtype:
+            # .npy round-trips ml_dtypes.bfloat16 as raw 2-byte void —
+            # reinterpret (same itemsize, no copy)
+            arr = arr.view(self.dtype)
+        return arr
 
     def put_batch(self, idxs, feats, lengths, l_pad: int) -> None:
         """feats: (B, T', Dt) last-layer, or (L, B, T', Dt) all-layer."""
@@ -200,8 +208,9 @@ class Trainer:
                     "cache_teacher is single-host for now: harvesting "
                     "np.asarray(tch_last) needs the full batch addressable")
             if cacheable:
+                import ml_dtypes
                 self._cache = TeacherFeatureCache(
-                    np.float16
+                    ml_dtypes.bfloat16
                     if model.student_cfg.compute_dtype == "bfloat16"
                     else np.float32,
                     all_layers=cfg.cache_teacher_all,
@@ -212,7 +221,9 @@ class Trainer:
                         cached_teacher=not cfg.cache_teacher_all,
                         cached_all_layers=cfg.cache_teacher_all))
                 self._train_step_harvest = jax.jit(
-                    make_distil_train_step(model, harvest_teacher=True))
+                    make_distil_train_step(
+                        model, harvest_teacher=True,
+                        harvest_all=cfg.cache_teacher_all))
         self.state: Optional[DistilTrainState] = None
 
     def _dp_size(self) -> int:
@@ -340,7 +351,7 @@ class Trainer:
                 # fault-tolerance hooks (utils/exp_manager.py): injection is
                 # test-only; heartbeats + straggler report are production
                 # observability for pod runs
-                maybe_inject_fault(cfg.simulated_fault, step)
+                maybe_inject_fault(cfg.simulated_fault, step, n_done)
                 if cfg.heartbeat_every and step % cfg.heartbeat_every == 0:
                     write_heartbeat(self.workdir, step)
                 if straggler is not None:

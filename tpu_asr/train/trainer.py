@@ -47,7 +47,8 @@ def _step_rngs(base_rng: jax.Array, step: jnp.ndarray) -> Dict[str, jax.Array]:
 def make_distil_train_step(model: DistilCTCModel, cached_teacher: bool = False,
                            harvest_teacher: bool = False,
                            packed: bool = False,
-                           cached_all_layers: bool = False):
+                           cached_all_layers: bool = False,
+                           harvest_all: bool = False):
     """Returns train_step(state, batch, base_rng) -> (state, metrics).
 
     batch: dict with `signal` (B, L) f32, `signal_len` (B,) i32,
@@ -61,6 +62,10 @@ def make_distil_train_step(model: DistilCTCModel, cached_teacher: bool = False,
     mode (FM/DiffKD/diffm/full-layerwise); `harvest_teacher` returns
     (state, metrics, (tch_last, tch_feats, encoded_len)) so the loop can
     record the teacher outputs while training normally.
+
+    `harvest_all` additionally returns the full per-layer stack in the
+    harvest tuple's second slot (None otherwise — gating it keeps the
+    last-layer cache from materializing a large unused jit output).
 
     `packed`: packed-segment training (model.forward_packed_train) — batch
     additionally carries the plan arrays `pk_src_utt`, `pk_src_pos`,
@@ -80,7 +85,9 @@ def make_distil_train_step(model: DistilCTCModel, cached_teacher: bool = False,
             # int8 FFN kernel under teacher_cfg.encoder.quantization='int8')
             # inside value_and_grad. Teacher grads stay structural zeros
             # (the optimizer masks them anyway, train/optim.py).
-            if isinstance(params, dict) and "teacher" in params:
+            import collections.abc
+            if isinstance(params, collections.abc.Mapping) \
+                    and "teacher" in params:
                 params = {**params,
                           "teacher": jax.lax.stop_gradient(params["teacher"])}
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -127,8 +134,9 @@ def make_distil_train_step(model: DistilCTCModel, cached_teacher: bool = False,
         metrics.update(nan_metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         if harvest_teacher:
-            return new_state, metrics, (out.tch_last, out.tch_feats,
-                                        out.encoded_len)
+            return new_state, metrics, (
+                out.tch_last, out.tch_feats if harvest_all else None,
+                out.encoded_len)
         return new_state, metrics
 
     return train_step

@@ -140,7 +140,8 @@ class StragglerDetector:
                 "stragglers": stragglers}
 
 
-def maybe_inject_fault(spec: Optional[str], step: int) -> None:
+def maybe_inject_fault(spec: Optional[str], step: int,
+                       n_done: int = 1) -> None:
     """Fault injection for resilience testing — the reference's
     FaultToleranceCallback `simulated_fault` knob (NeMo exp_manager.py:
     188-264, config-gated, unused by the KD scripts). `spec` is
@@ -148,12 +149,17 @@ def maybe_inject_fault(spec: Optional[str], step: int) -> None:
     <step>, process <rank> either exits hard (os._exit(1) — the preemption/
     crash case checkpoint-resume must survive) or hangs (sleeps forever —
     the case heartbeat monitoring must catch). No-op when spec is None or
-    this process/step does not match."""
+    this process/step does not match. `n_done`: steps covered by this
+    check — with steps_per_dispatch > 1 the counter advances in strides,
+    so the fault fires when <step> falls anywhere in (step - n_done,
+    step]."""
     if not spec:
         return
     kind, rank, at = spec.split(":")
     import jax
-    if jax.process_index() != int(rank) or step != int(at):
+    at = int(at)
+    if jax.process_index() != int(rank) \
+            or not (step - n_done < at <= step):
         return
     if kind == "rank_killed":
         os._exit(1)
