@@ -224,3 +224,55 @@ def test_packed_step_with_dropout_trains():
         losses.append(float(metrics["loss/total"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_packed_step_on_dp_mesh_matches_single_device():
+    """Packed train step under dp2 on the virtual mesh: the pack/gather
+    indexing crosses rows, so GSPMD inserts collectives — results must
+    equal the unsharded run exactly (the shard-local-plans note in
+    forward_packed_train is a PERF contract, not a correctness one)."""
+    from tpu_asr.parallel.mesh import batch_sharding, make_mesh, replicated
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    teacher_cfg = _cfg()
+    student_cfg = make_student_config(teacher_cfg)
+    model = DistilCTCModel(student_cfg, teacher_cfg, _distill("logit"))
+    rng = np.random.default_rng(5)
+    batch = _batch(rng)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "specaug": key, "dropout": key, "gumbel": key,
+         "noise": key},
+        batch["signal"], batch["signal_len"], batch["tokens"],
+        batch["token_len"], train=True)
+    batch_p, _ = _pk_batch(batch, student_cfg)
+    step = jax.jit(make_distil_train_step(model, packed=True))
+
+    s_ref, m_ref = step(_state(model, variables), batch_p,
+                        jax.random.PRNGKey(7))
+
+    mesh = make_mesh(dp_size=2, tp_size=1)
+    bsh = batch_sharding(mesh)
+    repl = replicated(mesh)
+    state = jax.device_put(_state(model, variables), repl)
+    # batch rows (and per-utt plan arrays) shard over 'data'; the (R, Tp)
+    # plan maps are replicated (rows are a different axis than utterances)
+    batch_s = dict(batch_p)
+    for k in ("signal", "signal_len", "tokens", "token_len", "pk_row",
+              "pk_start"):
+        batch_s[k] = jax.device_put(batch_p[k], bsh)
+    for k in ("pk_src_utt", "pk_src_pos", "pk_seg"):
+        batch_s[k] = jax.device_put(batch_p[k], repl)
+    s_dp, m_dp = step(state, batch_s, jax.random.PRNGKey(7))
+
+    # losses + grad_norm pin the math (dp's psum reduction order wobbles
+    # grads at ~1e-7, which AdamW's first step amplifies to +-lr on
+    # near-zero elements — post-optimizer params are not comparable)
+    for k in m_ref:
+        np.testing.assert_allclose(np.asarray(m_ref[k]), np.asarray(m_dp[k]),
+                                   rtol=1e-4, err_msg=k)
+    # params still agree to within one AdamW update's magnitude
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_dp.params)):
+        assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) < 2.5e-3
